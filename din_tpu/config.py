@@ -1,0 +1,191 @@
+"""Experiment configuration.
+
+TPU-native re-design of the reference's plain-Python ``Config`` object
+(reference: config.py:5-116).  Same field names and dataset-conditional
+defaults so that every reference training script maps 1:1 onto a preset in
+``din_tpu.experiments.presets``; adds TPU-specific knobs (mesh shape, compute
+dtype, host prefetch depth).
+
+Unlike the reference (which mutates a class instance field-by-field), this is
+a dataclass: presets produce a new Config via ``replace``-style keyword
+overrides, and derived paths are computed in ``init_config``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+# Volleyball split (reference: config.py:28-30).
+VOLLEYBALL_TRAIN_SEQS = [
+    1, 3, 6, 7, 10, 13, 15, 16, 18, 22, 23, 31, 32, 36, 38, 39, 40, 41, 42,
+    48, 50, 52, 53, 54, 0, 2, 8, 12, 17, 19, 24, 26, 27, 28, 30, 33, 46, 49, 51,
+]
+VOLLEYBALL_TEST_SEQS = [4, 5, 9, 11, 14, 20, 21, 25, 29, 34, 35, 37, 43, 44, 45, 47]
+
+# Collective split (reference: config.py:33-34).
+COLLECTIVE_TEST_SEQS = [5, 6, 7, 8, 9, 10, 11, 15, 16, 25, 28, 29]
+COLLECTIVE_TRAIN_SEQS = [s for s in range(1, 45) if s not in COLLECTIVE_TEST_SEQS]
+
+
+@dataclasses.dataclass
+class Config:
+    """All experiment knobs. Field semantics follow reference config.py:5-104."""
+
+    dataset_name: str = "volleyball"
+
+    # Global geometry (reference: config.py:12-15)
+    image_size: Tuple[int, int] = (720, 1280)       # input image H, W
+    batch_size: int = 32                            # train batch size
+    test_batch_size: int = 8                        # eval batch size
+    num_boxes: int = 12                             # max actors per frame (MAX_N)
+
+    # Data paths / splits (reference: config.py:22-34)
+    data_path: str = "data/volleyball/videos"
+    train_seqs: Sequence[int] = dataclasses.field(default_factory=list)
+    test_seqs: Sequence[int] = dataclasses.field(default_factory=list)
+
+    # Backbone (reference: config.py:36-41)
+    backbone: str = "res18"                         # inv3|vgg16|vgg19|res18|res50|alex
+    crop_size: Tuple[int, int] = (5, 5)             # RoIAlign output K x K
+    train_backbone: bool = False                    # finetune backbone weights
+    out_size: Tuple[int, int] = (87, 157)           # backbone feature map OH, OW
+    emb_features: int = 1056                        # backbone channel count D
+
+    # Classes / losses (reference: config.py:44-48)
+    num_actions: int = 9
+    num_activities: int = 8
+    actions_loss_weight: float = 1.0
+    actions_weights: Optional[Sequence[float]] = None  # per-class CE weights
+
+    # Frame sampling (reference: config.py:50-53)
+    num_frames: int = 3
+    num_before: int = 5
+    num_after: int = 4
+
+    # ARG head (reference: config.py:55-62)
+    num_features_boxes: int = 1024                  # NFB
+    num_features_relation: int = 256                # NFR
+    num_graph: int = 16                             # NG
+    num_features_gcn: int = 1024                    # NFG
+    gcn_layers: int = 1
+    tau_sqrt: bool = False
+    pos_threshold: float = 0.2
+
+    # Training (reference: config.py:64-72)
+    train_random_seed: int = 0
+    train_learning_rate: float = 1e-4
+    lr_plan: Dict[int, float] = dataclasses.field(default_factory=lambda: {41: 1e-5})
+    train_dropout_prob: float = 0.3
+    weight_decay: float = 0.0
+    max_epoch: int = 30
+    test_interval_epoch: int = 1
+
+    # Experiment control (reference: config.py:74-81)
+    training_stage: int = 1
+    stage1_model_path: str = ""
+    test_before_train: bool = False
+    exp_note: str = "Group-Activity-Recognition"
+    exp_name: Optional[str] = None
+    set_bn_eval: bool = False
+    inference_module_name: str = "dynamic_volleyball"
+
+    # Dynamic Inference / DIN (reference: config.py:83-97)
+    stride: int = 1
+    ST_kernel_size: Any = ((3, 3),)                 # tuple of (kh, kw) per DIM
+    dynamic_sampling: bool = True
+    sampling_ratio: Sequence[int] = (1, 3)
+    group: int = 1
+    scale_factor: bool = True
+    beta_factor: bool = True
+    load_backbone_stage2: bool = False
+    parallel_inference: bool = False
+    hierarchical_inference: bool = False
+    lite_dim: Optional[int] = None
+    num_DIM: int = 1
+    load_stage2model: bool = False
+    stage2model: Optional[str] = None
+
+    # Actor Transformer (reference: config.py:99-100)
+    temporal_pooled_first: bool = False
+
+    # SACRF + BiUTE (reference: config.py:102-103)
+    halting_penalty: float = 1e-4
+
+    # ---- TPU-native additions (no reference counterpart) ----
+    compute_dtype: str = "bfloat16"      # dtype for backbone/head matmuls
+    param_dtype: str = "float32"
+    mesh_shape: Dict[str, int] = dataclasses.field(default_factory=dict)  # e.g. {"data": 8}
+    prefetch_depth: int = 2              # host->device pipeline depth
+    roi_align_impl: str = "auto"         # auto|onehot|gather|pallas
+    pretrained_backbone_path: Optional[str] = None  # torch state_dict file (optional)
+    result_root: str = "result"
+    num_workers: int = 4                 # host decode threads
+    donate_step_buffers: bool = True
+
+    # Derived at init_config()
+    result_path: Optional[str] = None
+    log_path: Optional[str] = None
+
+    def __post_init__(self):
+        assert self.dataset_name in ("volleyball", "collective")
+        if not self.train_seqs or not self.test_seqs:
+            if self.dataset_name == "volleyball":
+                self.train_seqs = list(VOLLEYBALL_TRAIN_SEQS)
+                self.test_seqs = list(VOLLEYBALL_TEST_SEQS)
+                self.data_path = "data/volleyball/videos"
+            else:
+                self.train_seqs = list(COLLECTIVE_TRAIN_SEQS)
+                self.test_seqs = list(COLLECTIVE_TEST_SEQS)
+                self.data_path = "data/collective"
+        if self.dataset_name == "collective" and self.num_boxes == 12:
+            # collective presets always override, but keep a sane default
+            pass
+
+    # -- reference config.py:107-116 --------------------------------------
+    def init_config(self, need_new_folder: bool = True) -> "Config":
+        if self.exp_name is None:
+            time_str = time.strftime("%Y-%m-%d_%H-%M-%S", time.localtime())
+            self.exp_name = "[%s_stage%d]<%s>" % (self.exp_note, self.training_stage, time_str)
+        self.result_path = os.path.join(self.result_root, self.exp_name)
+        self.log_path = os.path.join(self.result_path, "log.txt")
+        if need_new_folder:
+            os.makedirs(self.result_path, exist_ok=True)
+        return self
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+    # Normalised views -----------------------------------------------------
+    @property
+    def kernel_sizes(self) -> List[Tuple[int, int]]:
+        """ST_kernel_size normalised to a list of (kh, kw).
+
+        The reference accepts both a list of tuples (scripts/
+        train_volleyball_stage2_dynamic.py:33) and a bare tuple
+        (scripts/train_collective_stage2_dynamic.py:47).
+        """
+        ks = self.ST_kernel_size
+        if isinstance(ks, int):
+            return [(ks, ks)]
+        ks = tuple(ks)
+        if len(ks) == 2 and all(isinstance(v, int) for v in ks):
+            return [tuple(ks)]
+        return [tuple(k) for k in ks]
+
+    @property
+    def action_weight_list(self) -> Optional[List[float]]:
+        """actions_weights flattened.
+
+        The reference scripts pass a nested list ``[[...]]``
+        (scripts/train_volleyball_stage1.py:34); flatten by intent.
+        """
+        w = self.actions_weights
+        if w is None:
+            return None
+        w = list(w)
+        if len(w) and isinstance(w[0], (list, tuple)):
+            w = list(w[0])
+        return [float(v) for v in w]

@@ -1,0 +1,136 @@
+"""RoIAlign vs a numpy crop_and_resize oracle.
+
+The oracle independently implements TF crop_and_resize semantics with the
+transform_fpcoor box transform used by the reference's CUDA extension
+(see din_tpu/ops/roi_align.py docstring; reference import base_model.py:3).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from din_tpu.ops.roi_align import roi_align, roi_align_pallas
+
+
+def oracle_crop_and_resize(features, boxes, crop_size):
+    """features [B,H,W,C] float64, boxes [B,N,4] x1y1x2y2 feature pixels."""
+    B, H, W, C = features.shape
+    N = boxes.shape[1]
+    KH, KW = crop_size
+    out = np.zeros((B, N, KH, KW, C), dtype=np.float64)
+    for b in range(B):
+        for n in range(N):
+            x1, y1, x2, y2 = boxes[b, n]
+            bin_h = (y2 - y1) / KH
+            bin_w = (x2 - x1) / KW
+            for i in range(KH):
+                in_y = y1 + (i + 0.5) * bin_h - 0.5
+                for j in range(KW):
+                    in_x = x1 + (j + 0.5) * bin_w - 0.5
+                    if in_y < 0 or in_y > H - 1 or in_x < 0 or in_x > W - 1:
+                        continue  # extrapolation value 0
+                    ty, by = int(np.floor(in_y)), int(np.ceil(in_y))
+                    lx, rx = int(np.floor(in_x)), int(np.ceil(in_x))
+                    yl = in_y - ty
+                    xl = in_x - lx
+                    top = features[b, ty, lx] * (1 - xl) + features[b, ty, rx] * xl
+                    bot = features[b, by, lx] * (1 - xl) + features[b, by, rx] * xl
+                    out[b, n, i, j] = top * (1 - yl) + bot * yl
+    return out
+
+
+def _random_case(rng, B=2, H=9, W=13, C=7, N=5, K=(5, 5)):
+    feats = rng.randn(B, H, W, C).astype(np.float32)
+    x1 = rng.uniform(-2, W - 2, (B, N))
+    y1 = rng.uniform(-2, H - 2, (B, N))
+    x2 = x1 + rng.uniform(0.5, 6, (B, N))
+    y2 = y1 + rng.uniform(0.5, 6, (B, N))
+    boxes = np.stack([x1, y1, x2, y2], axis=-1).astype(np.float32)
+    return feats, boxes
+
+
+@pytest.mark.parametrize("impl", ["onehot", "gather", "pallas_interpret"])
+def test_matches_oracle(rng, impl):
+    feats, boxes = _random_case(rng)
+    ref = oracle_crop_and_resize(feats.astype(np.float64),
+                                 boxes.astype(np.float64), (5, 5))
+    got = roi_align(jnp.asarray(feats), jnp.asarray(boxes), (5, 5), impl=impl)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_k7(rng):
+    feats, boxes = _random_case(rng, K=(7, 7))
+    ref = oracle_crop_and_resize(feats.astype(np.float64),
+                                 boxes.astype(np.float64), (7, 7))
+    got = roi_align(jnp.asarray(feats), jnp.asarray(boxes), (7, 7), impl="onehot")
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_impls_agree(rng):
+    feats, boxes = _random_case(rng, B=3, H=12, W=20, C=16, N=12)
+    a = roi_align(jnp.asarray(feats), jnp.asarray(boxes), (5, 5), impl="onehot")
+    b = roi_align(jnp.asarray(feats), jnp.asarray(boxes), (5, 5), impl="gather")
+    c = roi_align(jnp.asarray(feats), jnp.asarray(boxes), (5, 5),
+                  impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_match(rng):
+    """onehot autodiff grad == gather autodiff grad == finite-difference."""
+    feats, boxes = _random_case(rng, B=1, H=6, W=8, C=3, N=2)
+    feats_j = jnp.asarray(feats)
+    boxes_j = jnp.asarray(boxes)
+    g_out = rng.randn(1, 2, 5, 5, 3).astype(np.float32)
+
+    def loss(f, impl):
+        out = roi_align(f, boxes_j, (5, 5), impl=impl)
+        return jnp.sum(out * g_out)
+
+    g_a = jax.grad(lambda f: loss(f, "onehot"))(feats_j)
+    g_b = jax.grad(lambda f: loss(f, "gather"))(feats_j)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),
+                               rtol=1e-4, atol=1e-4)
+
+    # finite difference spot-check
+    eps = 1e-2
+    idx = (0, 3, 4, 1)
+    fp = feats.copy(); fp[idx] += eps
+    fm = feats.copy(); fm[idx] -= eps
+    fd = (loss(jnp.asarray(fp), "onehot") - loss(jnp.asarray(fm), "onehot")) / (2 * eps)
+    np.testing.assert_allclose(float(g_a[idx]), float(fd), rtol=1e-2, atol=1e-2)
+
+
+def test_pallas_custom_vjp_matches_onehot(rng):
+    """The Pallas op's custom backward equals the XLA autodiff backward.
+
+    (Runs the *backward* only — forward pallas needs interpret mode on CPU,
+    so compare _pallas_bwd's math through roi_align's onehot grad.)
+    """
+    from din_tpu.ops.roi_align import _pallas_bwd
+    feats, boxes = _random_case(rng, B=2, H=6, W=8, C=3, N=4)
+    g = rng.randn(2, 4, 5, 5, 3).astype(np.float32)
+
+    def loss(f):
+        return jnp.sum(roi_align(f, jnp.asarray(boxes), (5, 5), impl="onehot")
+                       * g)
+
+    g_ref = jax.grad(loss)(jnp.asarray(feats))
+    fmeta = (feats.shape[1], feats.shape[2], "float32")
+    df, dbox = _pallas_bwd((5, 5), fmeta, jnp.asarray(boxes), jnp.asarray(g))
+    assert dbox is None
+    np.testing.assert_allclose(np.asarray(df), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_reference_box_layout(rng):
+    """Boxes grouped per frame reproduce the reference's flat (boxes,
+    box_index) calling convention (base_model.py:80-112)."""
+    feats, boxes = _random_case(rng, B=4, H=6, W=9, C=2, N=3)
+    out = roi_align(jnp.asarray(feats), jnp.asarray(boxes), (5, 5))
+    # frame 2 crops only read frame 2's features
+    feats2 = feats.copy()
+    feats2[0] = 0.0
+    out2 = roi_align(jnp.asarray(feats2), jnp.asarray(boxes), (5, 5))
+    np.testing.assert_allclose(np.asarray(out[1:]), np.asarray(out2[1:]))
