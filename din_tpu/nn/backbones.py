@@ -1,0 +1,325 @@
+"""CNN backbones in flax (NHWC, bf16-friendly), structurally identical to the
+reference's torchvision wrappers (reference: backbone/backbone.py:10-167):
+
+  InceptionV3Backbone — two-scale output [Mixed_5d (288ch), Mixed_6e (768ch)]
+                        (backbone/backbone.py:35-85)
+  VGG16Backbone / VGG19Backbone — single 512-ch map (backbone/backbone.py:88-112)
+  ResNet18Backbone / ResNet50Backbone — layer4 output (backbone/backbone.py:115-154)
+  AlexNetBackbone — alexnet features (backbone/backbone.py:156-167)
+
+Each ``__call__(x, train=...)`` takes images in [-1, 1] NHWC and returns a
+*list* of feature maps (multiscale), mirroring the reference's
+``forward -> [feature_maps]`` contract.  Module/layer names follow the torch
+module paths so the weight port (din_tpu/nn/torch_port.py) is mechanical.
+
+BatchNorm: torch momentum 0.1 == flax momentum 0.9; resnet eps 1e-5,
+inception eps 1e-3.  ``train`` toggles batch-stat updates; the engine's
+``set_bn_eval`` (reference train_net.py:18-21) maps to train=False here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from din_tpu.nn.layers import avg_pool_torch, max_pool_torch, torch_conv
+
+
+# --------------------------------------------------------------------------
+# VGG
+# --------------------------------------------------------------------------
+
+_VGG16_PLAN = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512, "M"]
+_VGG19_PLAN = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+               512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+
+
+class _VGG(nn.Module):
+    plan: Sequence
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train  # VGG has no BN / dropout in the feature extractor
+        idx = 0
+        for item in self.plan:
+            if item == "M":
+                x = max_pool_torch(x, 2, 2)
+                idx += 1
+            else:
+                x = torch_conv(item, 3, padding=1, dtype=self.dtype,
+                               name=f"features_{idx}")(x)
+                x = nn.relu(x)
+                idx += 2
+        return [x]
+
+
+class VGG16Backbone(_VGG):
+    plan: Sequence = tuple(_VGG16_PLAN)
+
+
+class VGG19Backbone(_VGG):
+    plan: Sequence = tuple(_VGG19_PLAN)
+
+
+# --------------------------------------------------------------------------
+# ResNet
+# --------------------------------------------------------------------------
+
+class _BasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, epsilon=1e-5,
+                                       dtype=self.dtype, name=name)
+        identity = x
+        out = torch_conv(self.features, 3, stride=self.stride, padding=1,
+                         use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = bn("bn1")(out)
+        out = nn.relu(out)
+        out = torch_conv(self.features, 3, padding=1, use_bias=False,
+                         dtype=self.dtype, name="conv2")(out)
+        out = bn("bn2")(out)
+        if self.downsample:
+            identity = torch_conv(self.features, 1, stride=self.stride,
+                                  use_bias=False, dtype=self.dtype,
+                                  name="downsample_0")(x)
+            identity = bn("downsample_1")(identity)
+        return nn.relu(out + identity)
+
+
+class _Bottleneck(nn.Module):
+    features: int  # base width; output = features * 4
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=0.9, epsilon=1e-5,
+                                       dtype=self.dtype, name=name)
+        identity = x
+        out = torch_conv(self.features, 1, use_bias=False, dtype=self.dtype,
+                         name="conv1")(x)
+        out = nn.relu(bn("bn1")(out))
+        out = torch_conv(self.features, 3, stride=self.stride, padding=1,
+                         use_bias=False, dtype=self.dtype, name="conv2")(out)
+        out = nn.relu(bn("bn2")(out))
+        out = torch_conv(self.features * 4, 1, use_bias=False,
+                         dtype=self.dtype, name="conv3")(out)
+        out = bn("bn3")(out)
+        if self.downsample:
+            identity = torch_conv(self.features * 4, 1, stride=self.stride,
+                                  use_bias=False, dtype=self.dtype,
+                                  name="downsample_0")(x)
+            identity = bn("downsample_1")(identity)
+        return nn.relu(out + identity)
+
+
+class _ResNet(nn.Module):
+    block: Any
+    layers: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = torch_conv(64, 7, stride=2, padding=3, use_bias=False,
+                       dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = max_pool_torch(x, 3, 2, padding=1)
+        widths = (64, 128, 256, 512)
+        expansion = 4 if self.block is _Bottleneck else 1
+        in_ch = 64
+        for li, (w, n) in enumerate(zip(widths, self.layers), start=1):
+            for bi in range(n):
+                stride = 2 if (li > 1 and bi == 0) else 1
+                down = (bi == 0 and (stride != 1 or in_ch != w * expansion))
+                x = self.block(features=w, stride=stride, downsample=down,
+                               dtype=self.dtype,
+                               name=f"layer{li}_{bi}")(x, train=train)
+                in_ch = w * expansion
+        return [x]
+
+
+class ResNet18Backbone(_ResNet):
+    block: Any = _BasicBlock
+    layers: Sequence[int] = (2, 2, 2, 2)
+
+
+class ResNet50Backbone(_ResNet):
+    block: Any = _Bottleneck
+    layers: Sequence[int] = (3, 4, 6, 3)
+
+
+# --------------------------------------------------------------------------
+# Inception v3 (cut at Mixed_6e, two-scale output)
+# --------------------------------------------------------------------------
+
+class _BasicConv2d(nn.Module):
+    """conv(bias=False) + BN(eps=1e-3) + relu (torchvision BasicConv2d)."""
+
+    features: int
+    kernel_size: Any
+    stride: Any = 1
+    padding: Any = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = torch_conv(self.features, self.kernel_size, stride=self.stride,
+                       padding=self.padding, use_bias=False, dtype=self.dtype,
+                       name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+class _InceptionA(nn.Module):
+    pool_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = lambda f, k, p=0, name=None: _BasicConv2d(
+            f, k, padding=p, dtype=self.dtype, name=name)
+        b1 = c(64, 1, name="branch1x1")(x, train)
+        b5 = c(48, 1, name="branch5x5_1")(x, train)
+        b5 = c(64, 5, p=2, name="branch5x5_2")(b5, train)
+        b3 = c(64, 1, name="branch3x3dbl_1")(x, train)
+        b3 = c(96, 3, p=1, name="branch3x3dbl_2")(b3, train)
+        b3 = c(96, 3, p=1, name="branch3x3dbl_3")(b3, train)
+        bp = avg_pool_torch(x, 3, 1, padding=1)
+        bp = c(self.pool_features, 1, name="branch_pool")(bp, train)
+        return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+class _InceptionB(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b3 = _BasicConv2d(384, 3, stride=2, dtype=self.dtype,
+                          name="branch3x3")(x, train)
+        bd = _BasicConv2d(64, 1, dtype=self.dtype,
+                          name="branch3x3dbl_1")(x, train)
+        bd = _BasicConv2d(96, 3, padding=1, dtype=self.dtype,
+                          name="branch3x3dbl_2")(bd, train)
+        bd = _BasicConv2d(96, 3, stride=2, dtype=self.dtype,
+                          name="branch3x3dbl_3")(bd, train)
+        bp = max_pool_torch(x, 3, 2)
+        return jnp.concatenate([b3, bd, bp], axis=-1)
+
+
+class _InceptionC(nn.Module):
+    channels_7x7: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c7 = self.channels_7x7
+        cc = lambda f, k, p, name: _BasicConv2d(
+            f, k, padding=p, dtype=self.dtype, name=name)
+        b1 = cc(192, 1, 0, "branch1x1")(x, train)
+        b7 = cc(c7, 1, 0, "branch7x7_1")(x, train)
+        b7 = cc(c7, (1, 7), (0, 3), "branch7x7_2")(b7, train)
+        b7 = cc(192, (7, 1), (3, 0), "branch7x7_3")(b7, train)
+        bd = cc(c7, 1, 0, "branch7x7dbl_1")(x, train)
+        bd = cc(c7, (7, 1), (3, 0), "branch7x7dbl_2")(bd, train)
+        bd = cc(c7, (1, 7), (0, 3), "branch7x7dbl_3")(bd, train)
+        bd = cc(c7, (7, 1), (3, 0), "branch7x7dbl_4")(bd, train)
+        bd = cc(192, (1, 7), (0, 3), "branch7x7dbl_5")(bd, train)
+        bp = avg_pool_torch(x, 3, 1, padding=1)
+        bp = cc(192, 1, 0, "branch_pool")(bp, train)
+        return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+class InceptionV3Backbone(nn.Module):
+    """Inception v3 trunk up to Mixed_6e, returning the reference's
+    two-scale list [Mixed_5d, Mixed_6e] (backbone/backbone.py:35-85)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bc = lambda f, k, s=1, p=0, name=None: _BasicConv2d(
+            f, k, stride=s, padding=p, dtype=self.dtype, name=name)
+        x = bc(32, 3, s=2, name="Conv2d_1a_3x3")(x, train)
+        x = bc(32, 3, name="Conv2d_2a_3x3")(x, train)
+        x = bc(64, 3, p=1, name="Conv2d_2b_3x3")(x, train)
+        x = max_pool_torch(x, 3, 2)
+        x = bc(80, 1, name="Conv2d_3b_1x1")(x, train)
+        x = bc(192, 3, name="Conv2d_4a_3x3")(x, train)
+        x = max_pool_torch(x, 3, 2)
+        x = _InceptionA(32, dtype=self.dtype, name="Mixed_5b")(x, train)
+        x = _InceptionA(64, dtype=self.dtype, name="Mixed_5c")(x, train)
+        x = _InceptionA(64, dtype=self.dtype, name="Mixed_5d")(x, train)
+        out5 = x
+        x = _InceptionB(dtype=self.dtype, name="Mixed_6a")(x, train)
+        x = _InceptionC(128, dtype=self.dtype, name="Mixed_6b")(x, train)
+        x = _InceptionC(160, dtype=self.dtype, name="Mixed_6c")(x, train)
+        x = _InceptionC(160, dtype=self.dtype, name="Mixed_6d")(x, train)
+        x = _InceptionC(192, dtype=self.dtype, name="Mixed_6e")(x, train)
+        return [out5, x]
+
+
+# --------------------------------------------------------------------------
+# AlexNet
+# --------------------------------------------------------------------------
+
+class AlexNetBackbone(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train
+        x = torch_conv(64, 11, stride=4, padding=2, dtype=self.dtype,
+                       name="features_0")(x)
+        x = nn.relu(x)
+        x = max_pool_torch(x, 3, 2)
+        x = torch_conv(192, 5, padding=2, dtype=self.dtype,
+                       name="features_3")(x)
+        x = nn.relu(x)
+        x = max_pool_torch(x, 3, 2)
+        x = torch_conv(384, 3, padding=1, dtype=self.dtype,
+                       name="features_6")(x)
+        x = nn.relu(x)
+        x = torch_conv(256, 3, padding=1, dtype=self.dtype,
+                       name="features_8")(x)
+        x = nn.relu(x)
+        x = torch_conv(256, 3, padding=1, dtype=self.dtype,
+                       name="features_10")(x)
+        x = nn.relu(x)
+        x = max_pool_torch(x, 3, 2)
+        return [x]
+
+
+# --------------------------------------------------------------------------
+# registry (reference: base_model.py:19-28 backbone dispatch)
+# --------------------------------------------------------------------------
+
+BACKBONES = {
+    "inv3": InceptionV3Backbone,
+    "vgg16": VGG16Backbone,
+    "vgg19": VGG19Backbone,
+    "res18": ResNet18Backbone,
+    "res50": ResNet50Backbone,
+    "alex": AlexNetBackbone,
+}
+
+
+def build_backbone(name: str, dtype=jnp.float32) -> nn.Module:
+    if name not in BACKBONES:
+        raise ValueError(f"unknown backbone '{name}' "
+                         f"(choose from {sorted(BACKBONES)})")
+    return BACKBONES[name](dtype=dtype)
