@@ -26,6 +26,7 @@ class KaimingLinear(nn.Module):
     use_bias: bool = True
     dtype: Any = None
     param_dtype: Any = jnp.float32
+    precision: Any = "highest"
 
     @nn.compact
     def __call__(self, x):
@@ -36,6 +37,7 @@ class KaimingLinear(nn.Module):
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            precision=self.precision,
             name="dense",
         )(x)
 
@@ -50,7 +52,8 @@ def torch_conv(features: int,
                dtype=None,
                name: Optional[str] = None,
                kernel_init=None,
-               bias_init=None) -> nn.Conv:
+               bias_init=None,
+               precision=None) -> nn.Conv:
     """nn.Conv configured with torch Conv2d geometry (explicit padding)."""
     if isinstance(kernel_size, int):
         kernel_size = (kernel_size, kernel_size)
@@ -75,6 +78,7 @@ def torch_conv(features: int,
         kernel_dilation=dilation,
         feature_group_count=groups,
         dtype=dtype,
+        precision=precision,
         name=name,
         **kwargs,
     )
