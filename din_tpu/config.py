@@ -120,6 +120,7 @@ class Config:
     mesh_shape: Dict[str, int] = dataclasses.field(default_factory=dict)  # e.g. {"data": 8}
     prefetch_depth: int = 2              # host->device pipeline depth
     roi_align_impl: str = "auto"         # auto|onehot|gather|pallas
+    frame_chunk: Optional[int] = None    # frames per backbone micro-batch
     pretrained_backbone_path: Optional[str] = None  # torch state_dict file (optional)
     result_root: str = "result"
     num_workers: int = 4                 # host decode threads

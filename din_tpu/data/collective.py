@@ -1,0 +1,141 @@
+"""Collective Activity dataset.
+
+reference: collective.py:13-225.  Tab-separated per-person annotation lines;
+keeps every 10th frame (frame_id % 10 == 1) with >= 9 following frames;
+group activity = majority vote of person actions excluding NA
+(collective.py:50-52); boxes normalized by the per-sequence frame size then
+scaled to feature coords; actions remapped 6->5 and activities 5->4
+(Walking merged into Crossing -> "Moving", collective.py:33-34); pads boxes
+with zeros / actions with -1 up to MAX_N and returns the true count.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from collections import Counter
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+FRAMES_NUM = {1: 302, 2: 347, 3: 194, 4: 257, 5: 536, 6: 401, 7: 968, 8: 221,
+              9: 356, 10: 302, 11: 1813, 12: 1084, 13: 851, 14: 723, 15: 464,
+              16: 1021, 17: 905, 18: 600, 19: 203, 20: 342, 21: 650, 22: 361,
+              23: 311, 24: 321, 25: 617, 26: 734, 27: 1804, 28: 470, 29: 635,
+              30: 356, 31: 690, 32: 194, 33: 193, 34: 395, 35: 707, 36: 914,
+              37: 1049, 38: 653, 39: 518, 40: 401, 41: 707, 42: 420, 43: 410,
+              44: 356}
+
+FRAMES_SIZE = {i: (480, 720) for i in FRAMES_NUM}
+for _i in (15, 20, 21, 22, 23, 24):
+    FRAMES_SIZE[_i] = (450, 800)
+
+ACTIONS = ['NA', 'Crossing', 'Waiting', 'Queueing', 'Walking', 'Talking']
+ACTIVITIES = ['Crossing', 'Waiting', 'Queueing', 'Walking', 'Talking']
+ACTION6_TO_5 = {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 4}
+ACTIVITY5_TO_4 = {0: 0, 1: 1, 2: 2, 3: 0, 4: 3}
+
+
+def collective_read_annotations(path: str, sid: int) -> Dict[int, dict]:
+    """Parse one sequence's annotations.txt (collective.py:37-81)."""
+    annotations = {}
+    H, W = FRAMES_SIZE[sid]
+
+    def commit(frame_id, actions, bboxes):
+        if frame_id is None:
+            return
+        if frame_id % 10 == 1 and frame_id + 9 <= FRAMES_NUM[sid]:
+            counter = Counter(actions).most_common(2)
+            # majority vote excluding NA (collective.py:50-52)
+            group = counter[0][0] - 1 if counter[0][0] != 0 \
+                else counter[1][0] - 1
+            annotations[frame_id] = {
+                "frame_id": frame_id,
+                "group_activity": group,
+                "actions": list(actions),
+                "bboxes": list(bboxes),
+            }
+
+    with open(os.path.join(path, "seq%02d" % sid, "annotations.txt")) as f:
+        frame_id, actions, bboxes = None, [], []
+        for line in f.readlines():
+            values = line.rstrip("\n").split("\t")
+            fid = int(values[0])
+            if fid != frame_id:
+                commit(frame_id, actions, bboxes)
+                frame_id, actions, bboxes = fid, [], []
+            actions.append(int(values[5]) - 1)
+            x, y, w, h = (int(values[i]) for i in range(1, 5))
+            bboxes.append((y / H, x / W, (y + h) / H, (x + w) / W))
+        commit(frame_id, actions, bboxes)
+    return annotations
+
+
+def collective_read_dataset(path: str, seqs: Sequence[int]):
+    return {sid: collective_read_annotations(path, sid) for sid in seqs}
+
+
+def collective_all_frames(anns) -> List[Tuple[int, int]]:
+    return [(s, f) for s in anns for f in anns[s]]
+
+
+class CollectiveDataset:
+    """Fixed-shape numpy clip loader (collective.py:95-225)."""
+
+    def __init__(self, anns, frames, images_path, image_size, feature_size,
+                 num_boxes=13, num_frames=10, is_training=True,
+                 is_finetune=False, seed=0):
+        self.anns = anns
+        self.frames = list(frames)
+        self.images_path = images_path
+        self.image_size = image_size
+        self.feature_size = feature_size
+        self.num_boxes = num_boxes
+        self.num_frames = num_frames
+        self.is_training = is_training
+        self.is_finetune = is_finetune
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.frames)
+
+    def sample_frames(self, frame):
+        sid, src_fid = frame
+        if self.is_finetune and self.is_training:
+            fid = self.rng.randint(src_fid, src_fid + self.num_frames - 1)
+            return [(sid, src_fid, fid)]
+        return [(sid, src_fid, fid)
+                for fid in range(src_fid, src_fid + self.num_frames)]
+
+    def _load_frame_image(self, sid, fid):
+        from PIL import Image
+        img = Image.open(os.path.join(
+            self.images_path, "seq%02d" % sid, "frame%04d.jpg" % fid))
+        img = img.resize((self.image_size[1], self.image_size[0]),
+                         Image.BILINEAR)
+        return np.asarray(img, np.uint8)
+
+    def __getitem__(self, index):
+        select = self.sample_frames(self.frames[index])
+        OH, OW = self.feature_size
+        images, boxes, actions, activities, counts = [], [], [], [], []
+        for (sid, src_fid, fid) in select:
+            images.append(self._load_frame_image(sid, fid))
+            ann = self.anns[sid][src_fid]
+            frame_boxes = [(x1 * OW, y1 * OH, x2 * OW, y2 * OH)
+                           for (y1, x1, y2, x2) in ann["bboxes"]]
+            frame_actions = [ACTION6_TO_5[a] for a in ann["actions"]]
+            counts.append(len(frame_boxes))
+            while len(frame_boxes) != self.num_boxes:
+                frame_boxes.append((0, 0, 0, 0))
+                frame_actions.append(-1)
+            boxes.append(np.asarray(frame_boxes, np.float32))
+            actions.append(np.asarray(frame_actions, np.int32))
+            activities.append(ACTIVITY5_TO_4[ann["group_activity"]])
+        return {
+            "images": np.stack(images),
+            "boxes": np.stack(boxes),
+            "actions": np.stack(actions),
+            "activities": np.asarray(activities, np.int32),
+            "bboxes_num": np.asarray(counts, np.int32),
+        }

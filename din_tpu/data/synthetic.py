@@ -1,0 +1,49 @@
+"""Synthetic fixture dataset: deterministic random clips with plausible
+tracks, for CI / benchmarking without the real videos (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class SyntheticDataset:
+    """Emits batches with the same schema as the real datasets."""
+
+    def __init__(self, cfg, size=64, is_training=True, seed=0):
+        self.cfg = cfg
+        self.size = size
+        self.is_training = is_training
+        self.seed = seed
+        self.T = 1 if (cfg.training_stage == 1 and is_training) else \
+            cfg.num_frames
+        if cfg.training_stage == 1 and not is_training:
+            self.T = cfg.num_frames
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, index):
+        cfg = self.cfg
+        rng = np.random.RandomState(self.seed * 100003 + index)
+        H, W = cfg.image_size
+        OH, OW = cfg.out_size
+        N = cfg.num_boxes
+        T = self.T
+        images = rng.randint(0, 255, (T, H, W, 3)).astype(np.uint8)
+        x1 = rng.uniform(0, max(OW - 2, 1), (T, N))
+        y1 = rng.uniform(0, max(OH - 2, 1), (T, N))
+        w = rng.uniform(0.5, 2.0, (T, N))
+        h = rng.uniform(0.5, 2.0, (T, N))
+        boxes = np.stack([x1, y1, x1 + w, y1 + h], -1).astype(np.float32)
+        actions = rng.randint(0, cfg.num_actions, (T, N)).astype(np.int32)
+        activities = np.full((T,), rng.randint(cfg.num_activities),
+                             np.int32)
+        sample = {"images": images, "boxes": boxes, "actions": actions,
+                  "activities": activities}
+        if cfg.dataset_name == "collective":
+            n_valid = rng.randint(2, N + 1)
+            counts = np.full((T,), n_valid, np.int32)
+            boxes[:, n_valid:] = 0.0
+            actions[:, n_valid:] = -1
+            sample["bboxes_num"] = counts
+        return sample

@@ -1,0 +1,41 @@
+"""CLI entry: ``python -m din_tpu.experiments.run --preset <name> [...]``.
+
+Replaces the reference's per-experiment scripts (scripts/train_*.py)."""
+
+from __future__ import annotations
+
+import argparse
+
+from din_tpu.experiments.presets import PRESETS
+from din_tpu.train.engine import train_net
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--preset", required=True, choices=sorted(PRESETS))
+    parser.add_argument("--data-path", default=None)
+    parser.add_argument("--max-epoch", type=int, default=None)
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--max-steps-per-epoch", type=int, default=None)
+    parser.add_argument("--stage1-model-path", default=None)
+    args = parser.parse_args(argv)
+
+    cfg = PRESETS[args.preset]()
+    overrides = {}
+    if args.data_path:
+        overrides["data_path"] = args.data_path
+    if args.max_epoch:
+        overrides["max_epoch"] = args.max_epoch
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.stage1_model_path:
+        overrides["stage1_model_path"] = args.stage1_model_path
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    best = train_net(cfg, max_steps_per_epoch=args.max_steps_per_epoch)
+    print("Best:", {k: v for k, v in best.items()
+                    if not hasattr(v, "shape")})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Shared model trunk: images -> backbone -> multiscale -> RoIAlign -> actor
+features.
+
+All reference models share this trunk verbatim (e.g. base_model.py:85-115,
+infer_model.py:161-186): reshape [B,T,...] to frames, normalise to [-1,1],
+run the backbone, bilinear-resize every output map to (OH, OW) with
+align_corners and channel-concat, RoIAlign each actor box to K x K, flatten.
+
+TPU-native deltas: NHWC layout, uint8 frames normalised on device, bf16
+compute dtype for the backbone, the RoIAlign is the Pallas/one-hot kernel
+(din_tpu/ops/roi_align.py), and a frozen backbone is cut out of the autodiff
+graph with stop_gradient (the reference's requires_grad=False,
+infer_model.py:44-46).
+
+RoI feature ordering: torch flattens [BTN, D, K, K] channel-major
+(base_model.py:115); this trunk flattens [B,T,N,K,K,D] position-major.  The
+fc_emb weight that consumes it is trained from scratch either way; the
+torch-checkpoint port reorders the weight (din_tpu/nn/torch_port.py
+``convert_fc_emb``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from din_tpu.nn.backbones import BACKBONES
+from din_tpu.nn.layers import kaiming_normal_init
+from din_tpu.ops.image import prep_images, resize_bilinear_align_corners
+from din_tpu.ops.roi_align import roi_align
+
+
+class _BackboneStep(nn.Module):
+    """scan body: one frame micro-batch through the (rematted) backbone.
+
+    The chunk arrives uint8 with W and the 3 channels merged
+    ([chunk, H, W*3]) — a 3-channel trailing dim would be tile-padded to 128
+    lanes at the scan boundary (a 17x HBM blow-up at 720x1280); the packed
+    form is padding-free and is unpacked/normalised inside the body.
+    """
+
+    backbone_name: str
+    dtype: Any
+    bn_train: bool
+    remat: bool
+
+    @nn.compact
+    def __call__(self, carry, packed_chunk):
+        chunk, H, W3 = packed_chunk.shape
+        frames = prep_images(packed_chunk.reshape(chunk, H, W3 // 3, 3),
+                             dtype=self.dtype)
+        cls = BACKBONES[self.backbone_name]
+        if self.remat:
+            # static_argnums indexes (scope, frames, train): the train flag
+            # must be static (BatchNorm branches on it)
+            cls = nn.remat(cls, static_argnums=(2,))
+        outs = cls(dtype=self.dtype, name="backbone")(frames, self.bn_train)
+        return carry, outs
+
+
+class Trunk(nn.Module):
+    backbone: str
+    out_size: Tuple[int, int]
+    crop_size: Tuple[int, int]
+    train_backbone: bool
+    compute_dtype: Any = jnp.bfloat16
+    roi_align_impl: str = "auto"
+    remat_backbone: bool = True
+    frame_chunk: Optional[int] = None   # None = auto
+
+    def _auto_chunk(self, n_frames: int, H: int, W: int) -> int:
+        """Frames per backbone micro-batch.  At 720x1280 a single frame's
+        early conv activations are ~0.5GB after TPU tile padding; chunking
+        bounds the (rematted) backward working set to one chunk."""
+        if self.frame_chunk:
+            return min(self.frame_chunk, n_frames)
+        if not self.train_backbone:
+            return n_frames
+        budget_pixels = 8 * 768 * 1280          # ~8 full-HD frames
+        per_chunk = max(1, budget_pixels // max(H * W, 1))
+        if per_chunk >= n_frames:
+            return n_frames
+        # even split (one compiled body) + multiple-of-8 sublane alignment
+        while n_frames % per_chunk or (per_chunk > 8 and per_chunk % 8):
+            per_chunk -= 1
+        return max(per_chunk, 1)
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, boxes: jnp.ndarray,
+                 bn_train: bool = False):
+        """images [B,T,H,W,3] (uint8 or float 0..255); boxes [B,T,N,4]
+        feature-map coords.  Returns (roi [B,T,N,KH,KW,D],
+        multiscale [BT,OH,OW,D], raw_outputs list)."""
+        B, T, H, W, _ = images.shape
+        N = boxes.shape[2]
+        OH, OW = self.out_size
+
+        # Frames are independent through the backbone: scan over frame
+        # micro-batches with rematted bodies so the backward holds only one
+        # chunk's activations (lax.scan sequencing — an unrolled loop lets
+        # the scheduler interleave chunks and blows HBM).  Inside the scan
+        # BatchNorm runs on frozen running stats (batch_stats cannot mutate
+        # through a scan carry; the reference's collective trainer always
+        # freezes BN anyway, train_net_dynamic.py:324, and set_bn_eval
+        # covers volleyball); the unchunked path updates stats normally.
+        chunk = self._auto_chunk(B * T, H, W)
+        num_chunks = (B * T) // chunk
+        step_kwargs = dict(backbone_name=self.backbone,
+                           dtype=self.compute_dtype,
+                           remat=self.remat_backbone and self.train_backbone,
+                           name="frames_scan")
+        if num_chunks == 1:
+            step_mod = _BackboneStep(bn_train=bn_train, **step_kwargs)
+            _, outputs = step_mod(None, images.reshape(B * T, H, W * 3))
+        else:
+            scanned = nn.scan(
+                _BackboneStep,
+                variable_broadcast=("params", "batch_stats"),
+                split_rngs={"params": False},
+                in_axes=0, out_axes=0,
+            )(bn_train=False, **step_kwargs)
+            packed = images.reshape(num_chunks, chunk, H, W * 3)
+            _, outs = scanned(None, packed)
+            outputs = [o.reshape((B * T,) + o.shape[2:]) for o in outs]
+
+        feats = [resize_bilinear_align_corners(o, (OH, OW)) for o in outputs]
+        multiscale = feats[0] if len(feats) == 1 else jnp.concatenate(feats, -1)
+
+        if not self.train_backbone:
+            multiscale = jax.lax.stop_gradient(multiscale)
+            outputs = [jax.lax.stop_gradient(o) for o in outputs]
+
+        roi = roi_align(multiscale, boxes.reshape(B * T, N, 4),
+                        self.crop_size, impl=self.roi_align_impl)
+        KH, KW = self.crop_size
+        D = multiscale.shape[-1]
+        roi = roi.reshape(B, T, N, KH, KW, D)
+        return roi, multiscale, outputs
+
+
+class EmbedActors(nn.Module):
+    """fc_emb_1 Linear(K*K*D -> NFB) [+ LayerNorm] + ReLU [+ dropout]
+    (stage-2: infer_model.py:50-51,184-186; stage-1: base_model.py:33-34,
+    119-121 uses dropout instead of LayerNorm)."""
+
+    nfb: int
+    use_layernorm: bool = True
+    dropout: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, roi: jnp.ndarray, deterministic: bool = True):
+        B, T, N = roi.shape[:3]
+        x = roi.reshape(B, T, N, -1).astype(jnp.float32)
+        x = nn.Dense(self.nfb, kernel_init=kaiming_normal_init,
+                     precision="highest", dtype=self.dtype,
+                     name="fc_emb_1")(x)
+        if self.use_layernorm:
+            x = nn.LayerNorm(name="nl_emb_1")(x)
+        x = nn.relu(x)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout, deterministic=deterministic,
+                           name="dropout_emb")(x)
+        return x

@@ -111,6 +111,19 @@ def convert_backbone_state(state: Mapping[str, np.ndarray],
     return out
 
 
+def convert_fc_emb(weight: np.ndarray, bias: np.ndarray, K: int, D: int):
+    """Convert a torch fc_emb weight [NFB, D*K*K] to the flax kernel
+    [K*K*D, NFB].
+
+    The torch trunk flattens RoI features channel-major (d, i, j)
+    (base_model.py:115); our trunk flattens position-major (i, j, d), so the
+    input axis is permuted accordingly.
+    """
+    NFB = weight.shape[0]
+    w = weight.reshape(NFB, D, K, K).transpose(0, 2, 3, 1).reshape(NFB, -1)
+    return w.transpose(1, 0), np.asarray(bias)
+
+
 def _tree_merge(dst, src, path=""):
     """Graft src leaves into dst (must exist with matching shapes)."""
     import jax.numpy as jnp

@@ -1,0 +1,54 @@
+"""Device mesh + sharding layout.
+
+The reference's entire parallelism story is single-process
+``nn.DataParallel`` (train_net.py:77-78).  The TPU-native equivalent
+(SURVEY.md §2.7): a ``jax.sharding.Mesh`` with a ``data`` axis over ICI,
+batches sharded on it, parameters replicated; the SPMD partitioner inserts
+the gradient all-reduce.  A ``model`` axis is reserved for tensor-parallel
+sharding of wide layers (unused at reference parity, validated by the
+multi-chip dry-run in __graft_entry__.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(cfg=None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    shape = dict(getattr(cfg, "mesh_shape", None) or {})
+    n = len(devices)
+    data = shape.get("data", 0) or n // max(shape.get("model", 1), 1)
+    model = shape.get("model", 1)
+    data = max(1, min(data, n))
+    arr = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_sharding(mesh: Mesh, params):
+    """Tensor-parallel layout over the 'model' axis: 2-D+ kernels whose
+    last (output-feature) dim divides the axis are sharded there, everything
+    else replicated.  With model=1 this degenerates to replication."""
+    n_model = mesh.shape["model"]
+
+    def leaf_sharding(leaf):
+        if (n_model > 1 and hasattr(leaf, "ndim") and leaf.ndim >= 2
+                and leaf.shape[-1] % n_model == 0):
+            spec = [None] * (leaf.ndim - 1) + ["model"]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(leaf_sharding, params)

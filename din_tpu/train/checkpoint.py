@@ -1,0 +1,85 @@
+"""Checkpointing and stage-1 -> stage-2 weight surgery.
+
+reference: stage-1 saves component state dicts on best accuracy
+(base_model.py:46-54, train_net.py:129-135); stage-2 saves
+{'epoch','state_dict','optimizer'} every eval with the accuracy embedded in
+the filename (train_net.py:120-128); stage-2 init pulls backbone + fc_emb
+from the stage-1 file (infer_model.py:122-126) or resumes a full stage-2
+checkpoint (train_net_dynamic.py:84-89).
+
+Here checkpoints are msgpack-serialised pytrees (flax.serialization).  The
+reference saves optimizer state but never restores it and hardcodes
+start_epoch=1 (train_net.py:99,121-125) — fixed by intent: ``load_state``
+restores epoch and optimizer too.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from din_tpu.nn.torch_port import graft_variables
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
+    data = serialization.msgpack_serialize(_to_host(payload))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def save_stage1_components(path: str, variables: Dict[str, Any]) -> None:
+    """Component-wise stage-1 save (base_model.py:46-54): backbone (trunk),
+    fc_emb (embed), fc_actions, fc_activities — plus batch stats."""
+    params = variables["params"]
+    payload = {
+        "trunk": params.get("trunk", {}),
+        "embed": params.get("embed", {}),
+        "fc_actions": params.get("fc_actions", {}),
+        "fc_activities": params.get("fc_activities", {}),
+        "batch_stats": variables.get("batch_stats", {}),
+    }
+    save_checkpoint(path, payload)
+
+
+def load_backbone_stage2(variables: Dict[str, Any],
+                         stage1_path: str) -> Dict[str, Any]:
+    """Stage-2 init from a stage-1 file: graft backbone (trunk) + fc_emb
+    (embed) subtrees (infer_model.py:122-126 ``loadmodel``)."""
+    comp = load_checkpoint(stage1_path)
+    grafts: Dict[str, Any] = {"params": {}}
+    for key in ("trunk", "embed"):
+        if comp.get(key):
+            grafts["params"][key] = comp[key]
+    if comp.get("batch_stats"):
+        grafts["batch_stats"] = comp["batch_stats"]
+    return graft_variables(variables, grafts)
+
+
+def load_stage2_model(variables: Dict[str, Any], path: str):
+    """Full stage-2 resume (train_net_dynamic.py:84-89): restores variables
+    by template; returns (variables, epoch, opt_state_raw or None)."""
+    ckpt = load_checkpoint(path)
+    restored = serialization.from_state_dict(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})},
+        {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats", {})})
+    out = dict(variables)
+    out["params"] = restored["params"]
+    if "batch_stats" in variables:
+        out["batch_stats"] = restored["batch_stats"]
+    return out, int(ckpt.get("epoch", 0)), ckpt.get("opt_state")

@@ -1,0 +1,264 @@
+"""Two-stage training engine.
+
+Replaces the reference's twin drivers (train_net.py:28-137,
+train_net_dynamic.py:27-157) with a single engine: one *compiled program per
+training step* (backbone + RoIAlign + head + loss + Adam update), a unified
+dict output protocol for every model, per-epoch evaluation with confusion /
+MPCA, epoch-keyed lr plan, best tracking and checkpointing.
+
+Data parallelism: with multiple devices the batch is sharded over the
+``data`` mesh axis and parameters are replicated; XLA inserts the gradient
+all-reduce (SURVEY.md §2.7 — the TPU answer to nn.DataParallel,
+train_net.py:77-78).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from din_tpu.data.datasets import return_dataset
+from din_tpu.data.loader import BatchLoader, prefetch_to_device
+from din_tpu.models.registry import build_model
+from din_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                   replicated_sharding)
+from din_tpu.train import checkpoint as ckpt_lib
+from din_tpu.train.losses import compute_losses
+from din_tpu.train.optim import lr_for_epoch, make_optimizer, set_learning_rate
+from din_tpu.utils.logging import print_log, show_config, show_epoch_info
+from din_tpu.utils.meters import MPCA, Timer
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: Any
+
+
+def init_model(cfg, model, sample_batch):
+    rngs = {"params": jax.random.PRNGKey(cfg.train_random_seed),
+            "dropout": jax.random.PRNGKey(cfg.train_random_seed + 1)}
+    variables = model.init(
+        rngs, jnp.asarray(sample_batch["images"]),
+        jnp.asarray(sample_batch["boxes"]),
+        bboxes_num=(jnp.asarray(sample_batch["bboxes_num"])
+                    if "bboxes_num" in sample_batch else None),
+        train=False)
+    return variables
+
+
+def make_train_step(model, cfg, tx, frame0_labels: bool, has_bn: bool,
+                    donate: bool = True):
+    def step(state: TrainState, batch: Dict):
+        rng, new_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+            kwargs = dict(train=True, rngs={"dropout": rng})
+            bn = batch.get("bboxes_num")
+            if has_bn:
+                out, new_vars = model.apply(
+                    variables, batch["images"], batch["boxes"],
+                    bboxes_num=bn, mutable=["batch_stats"], **kwargs)
+                new_stats = new_vars["batch_stats"]
+            else:
+                out = model.apply(variables, batch["images"], batch["boxes"],
+                                  bboxes_num=bn, **kwargs)
+                new_stats = state.batch_stats
+            metrics = compute_losses(out, batch, cfg, frame0_labels)
+            return metrics["loss"], (metrics, new_stats)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_stats)), grads = grad_fn(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, batch_stats=new_stats,
+                               opt_state=opt_state, rng=new_rng)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, cfg, frame0_labels: bool):
+    def step(params, batch_stats, batch: Dict):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(variables, batch["images"], batch["boxes"],
+                          bboxes_num=batch.get("bboxes_num"), train=False)
+        return compute_losses(out, batch, cfg, frame0_labels)
+
+    return jax.jit(step)
+
+
+def _epoch_info(metric_list, epoch, elapsed, num_activities):
+    conf = np.zeros((num_activities, num_activities), np.int64)
+    loss_sum, n = 0.0, 0
+    act_c = act_t = actn_c = actn_t = 0
+    for m in metric_list:
+        m = jax.tree_util.tree_map(np.asarray, m)
+        conf += m["activities_conf"].astype(np.int64)
+        loss_sum += float(m["loss"])
+        n += 1
+        act_c += int(m["activities_correct"])
+        act_t += int(m["activities_total"])
+        if "actions_correct" in m:
+            actn_c += int(m["actions_correct"])
+            actn_t += int(m["actions_total"])
+    info = {
+        "epoch": epoch,
+        "time": elapsed,
+        "loss": loss_sum / max(n, 1),
+        "activities_acc": 100.0 * act_c / max(act_t, 1),
+        "activities_conf": conf,
+        "activities_MPCA": MPCA(np.maximum(conf, 0) + (conf.sum() == 0)),
+    }
+    if actn_t:
+        info["actions_acc"] = 100.0 * actn_c / max(actn_t, 1)
+    return info
+
+
+def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
+    """Full training driver (reference train_net.py:28-137).  Returns the
+    best eval info dict."""
+    cfg.init_config()
+    show_config(cfg)
+
+    training_set, validation_set = return_dataset(cfg)
+    train_loader = BatchLoader(training_set, cfg.batch_size, shuffle=True,
+                               num_workers=cfg.num_workers,
+                               seed=cfg.train_random_seed)
+    val_loader = BatchLoader(validation_set, cfg.test_batch_size,
+                             shuffle=False, num_workers=cfg.num_workers,
+                             drop_last=False)
+
+    mesh = make_mesh(cfg)
+    _data_sharding = batch_sharding(mesh)
+    rep_sharding = replicated_sharding(mesh)
+    n_data = mesh.shape["data"]
+
+    def data_sharding(batch):
+        # remainder eval batches that don't divide the data axis replicate
+        return _data_sharding if batch["images"].shape[0] % n_data == 0 \
+            else rep_sharding
+
+    model = build_model(cfg)
+    sample = next(iter(BatchLoader(training_set, cfg.batch_size,
+                                   shuffle=False, num_workers=1)))
+    variables = init_model(cfg, model, sample)
+
+    # weight loading (train_net_dynamic.py:75-93)
+    if cfg.training_stage == 2:
+        if cfg.load_backbone_stage2 and cfg.stage1_model_path:
+            variables = ckpt_lib.load_backbone_stage2(
+                variables, cfg.stage1_model_path)
+            print_log(cfg.log_path,
+                      "Loaded stage1 backbone: " + cfg.stage1_model_path)
+        elif cfg.load_stage2model and cfg.stage2model:
+            variables, _, _ = ckpt_lib.load_stage2_model(
+                variables, cfg.stage2model)
+            print_log(cfg.log_path,
+                      "Loading stage2 model: " + cfg.stage2model)
+        else:
+            print_log(cfg.log_path, "Not loading stage1 or stage2 model.")
+    elif cfg.pretrained_backbone_path:
+        from din_tpu.nn.torch_port import (convert_backbone_state,
+                                           torch_file_to_numpy)
+        state = torch_file_to_numpy(cfg.pretrained_backbone_path)
+        conv = convert_backbone_state(state, cfg.backbone)
+        bb_path = lambda tree: {"trunk": {"frames_scan": {"backbone": tree}}}
+        variables = ckpt_lib.graft_variables(
+            variables,
+            {"params": bb_path(conv["params"]),
+             **({"batch_stats": bb_path(conv["batch_stats"])}
+                if "batch_stats" in conv else {})})
+        print_log(cfg.log_path, "Loaded pretrained backbone: "
+                  + cfg.pretrained_backbone_path)
+
+    tx = make_optimizer(cfg, variables["params"])
+    opt_state = tx.init(variables["params"])
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=opt_state,
+                       rng=jax.random.PRNGKey(cfg.train_random_seed + 7))
+    state = jax.device_put(state, rep_sharding)
+
+    has_bn = bool(variables.get("batch_stats"))
+    frame0 = cfg.training_stage == 2
+    train_step = make_train_step(model, cfg, tx, frame0, has_bn,
+                                 donate=cfg.donate_step_buffers)
+    eval_step = make_eval_step(model, cfg, frame0)
+
+    def run_eval(state, epoch):
+        timer = Timer()
+        metrics = []
+        for batch in prefetch_to_device(iter(val_loader),
+                                        size=cfg.prefetch_depth,
+                                        sharding=data_sharding):
+            metrics.append(eval_step(state.params, state.batch_stats, batch))
+        return _epoch_info(metrics, epoch, timer.timeit(),
+                           cfg.num_activities)
+
+    best = {"epoch": 0, "activities_acc": 0.0}
+    if cfg.test_before_train:
+        info = run_eval(state, 0)
+        show_epoch_info("Test", cfg.log_path, info)
+
+    for epoch in range(1, cfg.max_epoch + 1):
+        if epoch in cfg.lr_plan:
+            print_log(cfg.log_path,
+                      "change learning rate: %g" % cfg.lr_plan[epoch])
+        state = state.replace(opt_state=set_learning_rate(
+            state.opt_state, lr_for_epoch(cfg, epoch)))
+
+        timer = Timer()
+        metrics = []
+        for i, batch in enumerate(prefetch_to_device(
+                iter(train_loader), size=cfg.prefetch_depth,
+                sharding=data_sharding)):
+            state, m = train_step(state, batch)
+            metrics.append(m)
+            if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
+                break
+        info = _epoch_info(metrics, epoch, timer.timeit(),
+                           cfg.num_activities)
+        show_epoch_info("Train", cfg.log_path, info)
+
+        if epoch % cfg.test_interval_epoch == 0:
+            test_info = run_eval(state, epoch)
+            show_epoch_info("Test", cfg.log_path, test_info)
+            if test_info["activities_acc"] > best["activities_acc"]:
+                best = test_info
+            print_log(cfg.log_path,
+                      "Best group activity accuracy: %.2f%% at epoch #%d."
+                      % (best["activities_acc"], best["epoch"]))
+
+            filepath = os.path.join(
+                cfg.result_path, "stage%d_epoch%d_%.2f%%.ckpt"
+                % (cfg.training_stage, epoch, test_info["activities_acc"]))
+            if cfg.training_stage == 2:
+                ckpt_lib.save_checkpoint(filepath, {
+                    "epoch": epoch,
+                    "params": jax.tree_util.tree_map(np.asarray, state.params),
+                    "batch_stats": jax.tree_util.tree_map(
+                        np.asarray, state.batch_stats),
+                })
+                print_log(cfg.log_path, "model saved to: " + filepath)
+            elif test_info["activities_acc"] == best["activities_acc"]:
+                ckpt_lib.save_stage1_components(
+                    filepath, {"params": state.params,
+                               "batch_stats": state.batch_stats})
+                print_log(cfg.log_path, "model saved to: " + filepath)
+    return best

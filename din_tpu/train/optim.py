@@ -1,0 +1,65 @@
+"""Optimizer: torch-Adam semantics + manual lr plan + trainable masks.
+
+reference: ``optim.Adam(filter(requires_grad), lr, weight_decay)``
+(train_net.py:86) with the epoch-keyed lr plan applied by ``adjust_lr``
+(train_net.py:23-26,102-103).  torch Adam's weight_decay adds wd*w to the
+*gradient* (not AdamW), reproduced by add_decayed_weights before the Adam
+transform.  ``requires_grad=False`` for a frozen backbone
+(infer_model.py:44-46) becomes an optax mask that zeroes those updates (the
+trunk also stop-gradients them, so no backbone backward is even computed).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def trainable_mask(params, train_backbone: bool):
+    """True where the parameter is trainable.  The backbone lives under
+    .../trunk/* in every model."""
+
+    def mask_fn(path, leaf):
+        if train_backbone:
+            return True
+        return not any(getattr(k, "key", None) == "trunk" for k in path)
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def make_optimizer(cfg, params):
+    """optax chain with an injected learning_rate hyperparameter."""
+    mask = trainable_mask(params, cfg.train_backbone)
+
+    @optax.inject_hyperparams
+    def make(learning_rate):
+        txs = []
+        if cfg.weight_decay:
+            txs.append(optax.add_decayed_weights(cfg.weight_decay))
+        txs.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+        txs.append(optax.scale(-learning_rate))
+        return optax.chain(*txs)
+
+    tx = make(learning_rate=cfg.train_learning_rate)
+    tx = optax.masked(tx, mask)
+    return tx
+
+
+def lr_for_epoch(cfg, epoch: int) -> float:
+    """The reference switches lr at epoch boundaries (train_net.py:102-103):
+    the plan value applies from its epoch onward."""
+    lr = cfg.train_learning_rate
+    for e in sorted(cfg.lr_plan):
+        if epoch >= e:
+            lr = cfg.lr_plan[e]
+    return lr
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected hyperparameter inside the masked wrapper."""
+    inner = opt_state.inner_state
+    inner.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state

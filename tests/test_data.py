@@ -1,0 +1,149 @@
+"""Data layer: annotation parsers against synthetic fixture files written in
+the reference's grammar, sampling policies, loaders."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from din_tpu.config import Config
+from din_tpu.data.collective import (ACTION6_TO_5, ACTIVITY5_TO_4,
+                                     collective_read_annotations)
+from din_tpu.data.loader import BatchLoader
+from din_tpu.data.synthetic import SyntheticDataset
+from din_tpu.data.volleyball import (VolleyballDataset,
+                                     volley_read_annotations)
+
+
+def _write_volleyball_fixture(root, sid=0, fids=(10, 20)):
+    """Write annotations.txt + frames + tracks in the reference layout
+    (volleyball.py:30-65, JPEG tree <sid>/<src_fid>/<fid>.jpg)."""
+    from PIL import Image
+    vdir = os.path.join(root, str(sid))
+    os.makedirs(vdir, exist_ok=True)
+    lines = []
+    tracks = {}
+    for fid in fids:
+        people = ["%d %d %d %d %s" % (10 + i, 20 + i, 5, 8, "digging")
+                  for i in range(3)]
+        lines.append("%d.jpg r_set " % fid + " ".join(people))
+        ftracks = {}
+        for f in range(fid - 4, fid + 5):
+            d = os.path.join(vdir, str(fid))
+            os.makedirs(d, exist_ok=True)
+            Image.fromarray(
+                np.zeros((24, 32, 3), np.uint8)).save(
+                    os.path.join(d, f"{f}.jpg"))
+            ftracks[f] = np.tile(np.array([[0.1, 0.2, 0.5, 0.4]]), (3, 1))
+        tracks[(sid, fid)] = ftracks
+    with open(os.path.join(vdir, "annotations.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(os.path.join(root, "tracks_normalized.pkl"), "wb") as f:
+        pickle.dump(tracks, f)
+    return tracks
+
+
+def test_volleyball_parser(tmp_path):
+    tracks = _write_volleyball_fixture(str(tmp_path))
+    anns = volley_read_annotations(str(tmp_path / "0" / "annotations.txt"))
+    assert set(anns) == {10, 20}
+    a = anns[10]
+    assert a["group_activity"] == 0                      # r_set
+    assert a["actions"] == [1, 1, 1]                     # digging
+    # xywh (x=10, y=20, w=5, h=8) -> (y1, x1, y2, x2) (volleyball.py:52-54)
+    np.testing.assert_array_equal(a["bboxes"][0], [20, 10, 28, 15])
+
+    ds = VolleyballDataset(
+        anns={0: anns}, tracks=tracks, frames=[(0, 10)],
+        images_path=str(tmp_path), image_size=(24, 32), feature_size=(2, 3),
+        inference_module_name="dynamic_volleyball", num_boxes=12,
+        is_training=True, is_finetune=False)
+    sample = ds[0]
+    assert sample["images"].shape == (9, 24, 32, 3)
+    assert sample["boxes"].shape == (9, 12, 4)
+    assert sample["actions"].shape == (9, 12)
+    # pad-by-repetition: the 4th actor repeats the 1st
+    np.testing.assert_array_equal(sample["boxes"][0, 3], sample["boxes"][0, 0])
+    # track box (0.1,0.2,0.5,0.4) -> feature coords x*OW, y*OH
+    np.testing.assert_allclose(sample["boxes"][0, 0],
+                               [0.2 * 3, 0.1 * 2, 0.4 * 3, 0.5 * 2],
+                               rtol=1e-5)
+
+
+def test_volleyball_sampling_policies(tmp_path):
+    tracks = _write_volleyball_fixture(str(tmp_path))
+    anns = volley_read_annotations(str(tmp_path / "0" / "annotations.txt"))
+    common = dict(anns={0: anns}, tracks=tracks, frames=[(0, 10)],
+                  images_path=str(tmp_path), image_size=(24, 32),
+                  feature_size=(2, 3), num_boxes=12)
+    # stage-1 train: 1 random frame in [src-5, src+4] (volleyball.py:194)
+    ds = VolleyballDataset(inference_module_name="dynamic_volleyball",
+                           num_before=4, num_after=4, is_training=True,
+                           is_finetune=True, **common)
+    assert len(ds.sample_frames((0, 10))) == 1
+    # stage-2: all consecutive frames
+    ds = VolleyballDataset(inference_module_name="dynamic_volleyball",
+                           num_before=4, num_after=4, is_training=True,
+                           is_finetune=False, **common)
+    assert [f[2] for f in ds.sample_frames((0, 10))] == list(range(6, 15))
+    # ARG: train 3 random of 10; test fixed 9-frame ordering
+    ds = VolleyballDataset(inference_module_name="arg_volleyball",
+                           num_before=4, num_after=4, is_training=True,
+                           is_finetune=False, **common)
+    assert len(ds.sample_frames((0, 10))) == 3
+    ds = VolleyballDataset(inference_module_name="arg_volleyball",
+                           num_before=4, num_after=4, is_training=False,
+                           is_finetune=False, **common)
+    assert [f[2] for f in ds.sample_frames((0, 10))] == \
+        [7, 10, 13, 6, 9, 12, 8, 11, 14]
+
+
+def test_collective_parser(tmp_path):
+    """Tab-separated grammar, 10th-frame windows, majority vote
+    (collective.py:37-81)."""
+    seq = tmp_path / "seq01"
+    seq.mkdir()
+    lines = []
+    # frame 1: actions NA(1), Crossing(2), Crossing(2), Walking(5)
+    for aid, act in enumerate([1, 2, 2, 5]):
+        lines.append("1\t%d\t%d\t10\t20\t%d" % (10 * aid, 5 * aid, act))
+    # frame 2 (not %10==1 after windowing... still parsed but dropped)
+    lines.append("2\t0\t0\t10\t20\t2")
+    # frame 11
+    lines.append("11\t5\t5\t10\t20\t3")
+    with open(seq / "annotations.txt", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    anns = collective_read_annotations(str(tmp_path), 1)
+    assert set(anns) == {1, 11}
+    # majority of non-NA actions: Crossing (raw 2 -> action id 1) ->
+    # activity id 0 (collective.py:50-52 double -1 mapping)
+    assert anns[1]["group_activity"] == 0
+    assert len(anns[1]["actions"]) == 4
+    # normalized boxes by FRAMES_SIZE[1] = (480, 720)
+    y1, x1, y2, x2 = anns[1]["bboxes"][0]
+    np.testing.assert_allclose([y1, x1, y2, x2],
+                               [5 * 0 / 480, 0 / 720, 20 / 480, 10 / 720])
+    # remaps
+    assert ACTION6_TO_5[4] == 1          # Walking -> Crossing/Moving
+    assert ACTIVITY5_TO_4[3] == 0
+
+
+def test_batch_loader_shapes():
+    cfg = Config("volleyball").replace(
+        data_path="synthetic", image_size=(24, 32), out_size=(2, 3),
+        num_frames=3, training_stage=2)
+    ds = SyntheticDataset(cfg, size=10)
+    loader = BatchLoader(ds, batch_size=4, shuffle=True, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2            # drop_last
+    b = batches[0]
+    assert b["images"].shape == (4, 3, 24, 32, 3)
+    assert b["images"].dtype == np.uint8
+    assert b["boxes"].shape == (4, 3, 12, 4)
+    assert b["activities"].shape == (4, 3)
+
+    # reshuffles between epochs
+    order1 = [b["activities"][:, 0].tolist() for b in loader]
+    order2 = [b["activities"][:, 0].tolist() for b in loader]
+    assert len(order1) == len(order2) == 2
