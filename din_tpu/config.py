@@ -125,6 +125,8 @@ class Config:
     result_root: str = "result"
     num_workers: int = 4                 # host decode threads
     donate_step_buffers: bool = True
+    measure_mad: bool = False            # MAD diagnostics on DIN eval
+    profile_dir: Optional[str] = None    # jax.profiler trace output dir
 
     # Derived at init_config()
     result_path: Optional[str] = None

@@ -108,12 +108,13 @@ class CollectiveDataset:
                 for fid in range(src_fid, src_fid + self.num_frames)]
 
     def _load_frame_image(self, sid, fid):
-        from PIL import Image
-        img = Image.open(os.path.join(
-            self.images_path, "seq%02d" % sid, "frame%04d.jpg" % fid))
-        img = img.resize((self.image_size[1], self.image_size[0]),
-                         Image.BILINEAR)
-        return np.asarray(img, np.uint8)
+        # native libjpeg decode+resize (DCT prescale + bilinear), PIL
+        # fallback — see din_tpu/native/din_loader.cc
+        from din_tpu import native
+        return native.load_frame(
+            os.path.join(self.images_path, "seq%02d" % sid,
+                         "frame%04d.jpg" % fid),
+            self.image_size[0], self.image_size[1])
 
     def __getitem__(self, index):
         select = self.sample_frames(self.frames[index])

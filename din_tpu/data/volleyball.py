@@ -117,12 +117,13 @@ class VolleyballDataset:
         return [(sid, src_fid, fid) for fid in range(lo, hi + 1)]
 
     def _load_frame_image(self, sid, src_fid, fid):
-        from PIL import Image
-        img = Image.open(os.path.join(
-            self.images_path, str(sid), str(src_fid), f"{fid}.jpg"))
-        img = img.resize((self.image_size[1], self.image_size[0]),
-                         Image.BILINEAR)
-        return np.asarray(img, np.uint8)
+        # native libjpeg decode+resize (DCT prescale + bilinear), PIL
+        # fallback — see din_tpu/native/din_loader.cc
+        from din_tpu import native
+        return native.load_frame(
+            os.path.join(self.images_path, str(sid), str(src_fid),
+                         f"{fid}.jpg"),
+            self.image_size[0], self.image_size[1])
 
     def __getitem__(self, index):
         select = self.sample_frames(self.frames[index])

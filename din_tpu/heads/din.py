@@ -242,7 +242,10 @@ class MultiDynamicInference(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, return_mad: bool = False):
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 return_mad: bool = False):
+        del deterministic  # no dropout here; uniform call signature with
+        # HierarchicalDynamicInference
         total, mad = None, None
         for i, ks in enumerate(self.kernel_sizes):
             ft, mad = DynamicPersonInference(

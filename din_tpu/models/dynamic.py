@@ -79,7 +79,8 @@ class DynamicVolleyball(nn.Module):
     cfg: Any
 
     @nn.compact
-    def __call__(self, images, boxes, bboxes_num=None, train: bool = False):
+    def __call__(self, images, boxes, bboxes_num=None, train: bool = False,
+                 return_mad: bool = False):
         cfg = self.cfg
         B, T = images.shape[:2]
         roi, _, _ = _make_trunk(cfg)(images, boxes,
@@ -88,11 +89,18 @@ class DynamicVolleyball(nn.Module):
                             name="embed")(roi)
         if cfg.lite_dim:
             feats = _lite_bottleneck(cfg, feats)
-        graph, _ = _make_dpi(cfg, feats.shape[-1])(feats)
+        graph, mad = _make_dpi(cfg, feats.shape[-1])(
+            feats, deterministic=not train, return_mad=return_mad)
         states = _din_readout(cfg, graph, feats, not train, "din")
         pooled = jnp.max(states, axis=2)                      # [B,T,C]
         scores = _head_dense(cfg.num_activities, "fc_activities")(pooled)
-        return {"activities": jnp.mean(scores, axis=1)}
+        out = {"activities": jnp.mean(scores, axis=1)}
+        if return_mad and mad is not None:
+            # sampled neighbourhood features + their centre features, for
+            # the MAD representation-smoothing diagnostic (utils.py:302-384)
+            out["mad_features"] = mad
+            out["mad_center"] = feats
+        return out
 
 
 class DynamicTCEVolleyball(nn.Module):
@@ -127,7 +135,8 @@ class DynamicTCEVolleyball(nn.Module):
         feats = jnp.concatenate(
             [feats, tce.reshape(B, T, N, -1).astype(feats.dtype)], axis=-1)
 
-        graph, _ = _make_dpi(cfg, feats.shape[-1])(feats)
+        graph, _ = _make_dpi(cfg, feats.shape[-1])(
+            feats, deterministic=not train)
         states = _din_readout(cfg, graph, feats, not train, "din")
         pooled = jnp.max(states, axis=2)
         scores = _head_dense(cfg.num_activities, "fc_activities")(pooled)
@@ -160,7 +169,8 @@ class DynamicCollective(nn.Module):
         mask = jnp.broadcast_to(mask, (B, T, MAX_N))
         feats = mask_actors(feats, mask[..., None])
 
-        graph, _ = _make_dpi(cfg, feats.shape[-1])(feats)
+        graph, _ = _make_dpi(cfg, feats.shape[-1])(
+            feats, deterministic=not train)
         states = graph + feats                                # [B,T,N,C]
         # per-actor LayerNorm([T, C]) (infer_model.py:1201,1299-1302)
         states = jnp.swapaxes(states, 1, 2)                   # [B,N,T,C]

@@ -14,9 +14,8 @@ train_net.py:77-78).
 
 from __future__ import annotations
 
+import contextlib
 import os
-import time
-from functools import partial
 from typing import Any, Dict, Optional
 
 import flax
@@ -35,6 +34,7 @@ from din_tpu.train.losses import compute_losses
 from din_tpu.train.optim import lr_for_epoch, make_optimizer, set_learning_rate
 from din_tpu.utils.logging import print_log, show_config, show_epoch_info
 from din_tpu.utils.meters import MPCA, Timer
+from din_tpu.utils.profiling import profiler_trace
 
 
 @flax.struct.dataclass
@@ -103,6 +103,27 @@ def make_eval_step(model, cfg, frame0_labels: bool):
     return jax.jit(step)
 
 
+def make_mad_step(model, cfg):
+    """Per-batch DIN MAD node tensor [B, T*N, 1+k2, C] (centre feature +
+    sampled neighbourhood — the reference's 'dynamic' field analysis,
+    utils.py:302-384)."""
+
+    def step(params, batch_stats, batch: Dict):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(variables, batch["images"], batch["boxes"],
+                          bboxes_num=batch.get("bboxes_num"), train=False,
+                          return_mad=True)
+        sampled = out["mad_features"]                 # [B,T,N,k2,C]
+        center = out["mad_center"][:, :, :, None]     # [B,T,N,1,C]
+        nodes = jnp.concatenate([center, sampled], axis=3)
+        B, T, N, K, C = nodes.shape
+        return nodes.reshape(B, T * N, K, C)
+
+    return jax.jit(step)
+
+
 def _epoch_info(metric_list, epoch, elapsed, num_activities):
     conf = np.zeros((num_activities, num_activities), np.int64)
     loss_sum, n = 0.0, 0
@@ -160,6 +181,7 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
     variables = init_model(cfg, model, sample)
 
     # weight loading (train_net_dynamic.py:75-93)
+    start_epoch, resumed_opt = 1, None
     if cfg.training_stage == 2:
         if cfg.load_backbone_stage2 and cfg.stage1_model_path:
             variables = ckpt_lib.load_backbone_stage2(
@@ -167,10 +189,12 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
             print_log(cfg.log_path,
                       "Loaded stage1 backbone: " + cfg.stage1_model_path)
         elif cfg.load_stage2model and cfg.stage2model:
-            variables, _, _ = ckpt_lib.load_stage2_model(
+            variables, last_epoch, resumed_opt = ckpt_lib.load_stage2_model(
                 variables, cfg.stage2model)
+            start_epoch = last_epoch + 1
             print_log(cfg.log_path,
-                      "Loading stage2 model: " + cfg.stage2model)
+                      "Loading stage2 model: %s (resuming at epoch %d)"
+                      % (cfg.stage2model, start_epoch))
         else:
             print_log(cfg.log_path, "Not loading stage1 or stage2 model.")
     elif cfg.pretrained_backbone_path:
@@ -189,6 +213,10 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
 
     tx = make_optimizer(cfg, variables["params"])
     opt_state = tx.init(variables["params"])
+    if resumed_opt is not None:
+        # full resume incl. Adam moments (the reference saves but never
+        # restores optimizer state, train_net.py:99,121-125 — fixed here)
+        opt_state = flax.serialization.from_state_dict(opt_state, resumed_opt)
     state = TrainState(params=variables["params"],
                        batch_stats=variables.get("batch_stats", {}),
                        opt_state=opt_state,
@@ -201,22 +229,37 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
                                  donate=cfg.donate_step_buffers)
     eval_step = make_eval_step(model, cfg, frame0)
 
+    mad_step = None
+    if cfg.measure_mad and cfg.inference_module_name.startswith("dynamic") \
+            and cfg.training_stage == 2:
+        mad_step = make_mad_step(model, cfg)
+
     def run_eval(state, epoch):
+        from din_tpu.utils.meters import MADmeter
         timer = Timer()
         metrics = []
+        mad_meter = MADmeter(cfg.num_frames, cfg.num_boxes) \
+            if mad_step is not None else None
         for batch in prefetch_to_device(iter(val_loader),
                                         size=cfg.prefetch_depth,
                                         sharding=data_sharding):
             metrics.append(eval_step(state.params, state.batch_stats, batch))
-        return _epoch_info(metrics, epoch, timer.timeit(),
+            if mad_meter is not None:
+                nodes = mad_step(state.params, state.batch_stats, batch)
+                mad_meter.cal_MAD(np.asarray(nodes), field=None,
+                                  field_shape="dynamic")
+        info = _epoch_info(metrics, epoch, timer.timeit(),
                            cfg.num_activities)
+        if mad_meter is not None:
+            info["MAD"] = float(mad_meter.output_MAD())
+        return info
 
     best = {"epoch": 0, "activities_acc": 0.0}
     if cfg.test_before_train:
         info = run_eval(state, 0)
         show_epoch_info("Test", cfg.log_path, info)
 
-    for epoch in range(1, cfg.max_epoch + 1):
+    for epoch in range(start_epoch, start_epoch + cfg.max_epoch):
         if epoch in cfg.lr_plan:
             print_log(cfg.log_path,
                       "change learning rate: %g" % cfg.lr_plan[epoch])
@@ -225,13 +268,17 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
 
         timer = Timer()
         metrics = []
-        for i, batch in enumerate(prefetch_to_device(
-                iter(train_loader), size=cfg.prefetch_depth,
-                sharding=data_sharding)):
-            state, m = train_step(state, batch)
-            metrics.append(m)
-            if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
-                break
+        trace_ctx = profiler_trace(cfg.profile_dir) \
+            if (cfg.profile_dir and epoch == start_epoch) \
+            else contextlib.nullcontext()
+        with trace_ctx:
+            for i, batch in enumerate(prefetch_to_device(
+                    iter(train_loader), size=cfg.prefetch_depth,
+                    sharding=data_sharding)):
+                state, m = train_step(state, batch)
+                metrics.append(m)
+                if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
+                    break
         info = _epoch_info(metrics, epoch, timer.timeit(),
                            cfg.num_activities)
         show_epoch_info("Train", cfg.log_path, info)
@@ -254,6 +301,8 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
                     "params": jax.tree_util.tree_map(np.asarray, state.params),
                     "batch_stats": jax.tree_util.tree_map(
                         np.asarray, state.batch_stats),
+                    "opt_state": flax.serialization.to_state_dict(
+                        jax.tree_util.tree_map(np.asarray, state.opt_state)),
                 })
                 print_log(cfg.log_path, "model saved to: " + filepath)
             elif test_info["activities_acc"] == best["activities_acc"]:

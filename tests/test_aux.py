@@ -1,0 +1,73 @@
+"""Auxiliary subsystems: resume, MAD diagnostics, FLOP/cost analysis
+(SURVEY.md §5)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from din_tpu.experiments.presets import PRESETS
+from din_tpu.train.engine import train_net
+from din_tpu.utils.meters import MADmeter
+from din_tpu.utils.profiling import gflops, param_count
+
+
+def _smoke_cfg(tmp_path, **kw):
+    cfg = PRESETS["synthetic_smoke"]()
+    kw.setdefault("max_epoch", 1)
+    return cfg.replace(result_root=str(tmp_path), **kw)
+
+
+def test_resume_continues_epochs(tmp_path):
+    """Stage-2 resume restores epoch + optimizer (the reference saved both
+    but restored neither, train_net.py:99,121-125)."""
+    cfg1 = _smoke_cfg(tmp_path, max_epoch=2, exp_note="resume_a",
+                      backbone="alex", out_size=(1, 2), emb_features=256)
+    train_net(cfg1, max_steps_per_epoch=2)
+    ckpts = sorted(f for f in os.listdir(cfg1.result_path)
+                   if f.endswith(".ckpt"))
+    assert ckpts
+    last = os.path.join(cfg1.result_path, ckpts[-1])
+
+    cfg2 = _smoke_cfg(tmp_path, max_epoch=1, exp_note="resume_b",
+                      backbone="alex", out_size=(1, 2), emb_features=256,
+                      load_stage2model=True, stage2model=last)
+    train_net(cfg2, max_steps_per_epoch=2)
+    log = open(os.path.join(cfg2.result_path, "log.txt")).read()
+    assert "resuming at epoch 3" in log
+    assert "Train at epoch #3" in log
+
+
+def test_mad_diagnostic(tmp_path):
+    cfg = _smoke_cfg(tmp_path, exp_note="mad", measure_mad=True,
+                     backbone="alex", out_size=(1, 2), emb_features=256)
+    train_net(cfg, max_steps_per_epoch=1)
+    log = open(os.path.join(cfg.result_path, "log.txt")).read()
+    assert "MAD:" in log
+
+
+def test_madmeter_rect_oracle(rng):
+    """MADmeter rect mode vs a direct 1-cos computation on the
+    fully-connected field."""
+    f = rng.randn(2, 3, 4, 8)
+    m = MADmeter(3, 4)
+    m.cal_MAD(f, [3, 4], field_shape="rect")
+    got = m.output_MAD()
+    flat = f.reshape(2, 12, 8)
+    n = np.linalg.norm(flat, axis=2, keepdims=True)
+    cos = flat @ flat.transpose(0, 2, 1) / (n @ n.transpose(0, 2, 1) + 1e-8)
+    ref = (1 - cos).sum(2) / 12
+    np.testing.assert_allclose(got, ref.mean(1).sum() / 2, rtol=1e-6)
+
+
+def test_gflops_and_params():
+    def fn(a, b):
+        return a @ b
+
+    a = jnp.zeros((128, 256))
+    b = jnp.zeros((256, 512))
+    g = gflops(fn, a, b)
+    assert 0.9 * (2 * 128 * 256 * 512 / 1e9) <= g <= \
+        1.5 * (2 * 128 * 256 * 512 / 1e9)
+    assert param_count({"w": np.zeros((3, 4)), "b": np.zeros(4)}) == 16
