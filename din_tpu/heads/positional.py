@@ -74,6 +74,27 @@ def context_position_embedding_sine(context: jnp.ndarray,
     return context + pos[None].astype(context.dtype)
 
 
+def sincos_encoding_2d(positions: jnp.ndarray, d_emb: int) -> jnp.ndarray:
+    """Legacy 2-D sin/cos position encoding (reference utils.py:74-98,
+    unused by any model there; kept for capability parity).
+
+    positions: [N, 2] -> [N, d_emb]."""
+    d = d_emb // 2
+    idxs = jnp.asarray([1000.0 ** (2 * (i // 2) / d) for i in range(d)],
+                       jnp.float32)
+    idxs = jnp.tile(idxs, 2)                                   # [d_emb]
+    pos = jnp.concatenate([
+        jnp.repeat(positions[:, 0:1], d, axis=1),
+        jnp.repeat(positions[:, 1:2], d, axis=1)], axis=1)
+    emb = pos / idxs
+    even = jnp.sin(emb[:, 0::2])
+    odd = jnp.cos(emb[:, 1::2])
+    out = jnp.zeros_like(emb)
+    out = out.at[:, 0::2].set(even)
+    out = out.at[:, 1::2].set(odd)
+    return out
+
+
 def boxes_position_embedding(features: jnp.ndarray,
                              boxes: jnp.ndarray,
                              image_size: Tuple[int, int],

@@ -262,6 +262,12 @@ class GCNNetCollective(nn.Module):
     @nn.compact
     def __call__(self, images, boxes, bboxes_num=None, train: bool = False):
         cfg = self.cfg
+        # eval-time 3-crop (gcn_model.py:322-327)
+        three_crop = (not train) and images.shape[1] % 3 == 0 \
+            and images.shape[1] > cfg.num_frames
+        if three_crop:
+            images, boxes = _three_crop(images, boxes)
+            bboxes_num = bboxes_num.reshape(images.shape[:2])
         B, T = images.shape[:2]
         MAX_N = cfg.num_boxes
         NFG = cfg.num_features_gcn
@@ -293,6 +299,13 @@ class GCNNetCollective(nn.Module):
         pooled = masked_max(states, mask[..., None], axis=2)   # [B,T,C]
         activities = _head_dense(cfg.num_activities, "fc_activities")(pooled)
         activities = jnp.mean(activities, axis=1)
+        amask = mask[:, 0]
+        if three_crop:
+            # average the 3 crops (gcn_model.py:424-427)
+            actions = jnp.mean(actions.reshape(B // 3, 3, MAX_N, -1), axis=1)
+            activities = _three_crop_average(activities)
+            amask = amask.reshape(B // 3, 3, MAX_N)[:, 0]
+            B = B // 3
         return {"actions": actions.reshape(B * MAX_N, -1),
                 "activities": activities,
-                "actions_mask": mask[:, 0].reshape(B * MAX_N)}
+                "actions_mask": amask.reshape(B * MAX_N)}

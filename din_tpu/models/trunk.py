@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from din_tpu.nn.backbones import BACKBONES
+from din_tpu.nn.backbones import BACKBONES, SAVEABLE_ACT
 from din_tpu.nn.layers import kaiming_normal_init
 from din_tpu.ops.image import prep_images, resize_bilinear_align_corners
 from din_tpu.ops.roi_align import roi_align
@@ -46,6 +46,7 @@ class _BackboneStep(nn.Module):
     dtype: Any
     bn_train: bool
     remat: bool
+    remat_policy: str = "full"   # 'full' | 'save_deep'
 
     @nn.compact
     def __call__(self, carry, packed_chunk):
@@ -55,8 +56,14 @@ class _BackboneStep(nn.Module):
         cls = BACKBONES[self.backbone_name]
         if self.remat:
             # static_argnums indexes (scope, frames, train): the train flag
-            # must be static (BatchNorm branches on it)
-            cls = nn.remat(cls, static_argnums=(2,))
+            # must be static (BatchNorm branches on it).  'save_deep' keeps
+            # the cheap deep-layer activations and recomputes only the
+            # memory-heavy early blocks.
+            policy = None
+            if self.remat_policy == "save_deep":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    SAVEABLE_ACT)
+            cls = nn.remat(cls, static_argnums=(2,), policy=policy)
         outs = cls(dtype=self.dtype, name="backbone")(frames, self.bn_train)
         return carry, outs
 

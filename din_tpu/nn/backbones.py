@@ -23,8 +23,15 @@ from typing import Any, List, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from din_tpu.nn.layers import avg_pool_torch, max_pool_torch, torch_conv
+
+# Activations cheap enough to keep under rematerialisation (deep layers at
+# reduced spatial resolution).  A remat policy of
+# save_only_these_names(SAVEABLE_ACT) then recomputes only the memory-heavy
+# early blocks in the backward pass.
+SAVEABLE_ACT = "backbone_saveable_act"
 
 
 # --------------------------------------------------------------------------
@@ -53,6 +60,8 @@ class _VGG(nn.Module):
                 x = torch_conv(item, 3, padding=1, dtype=self.dtype,
                                name=f"features_{idx}")(x)
                 x = nn.relu(x)
+                if item >= 256:      # quarter resolution and below
+                    x = checkpoint_name(x, SAVEABLE_ACT)
                 idx += 2
         return [x]
 

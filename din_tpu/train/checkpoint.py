@@ -70,6 +70,37 @@ def load_backbone_stage2(variables: Dict[str, Any],
     return graft_variables(variables, grafts)
 
 
+def load_partial(params: Dict[str, Any], saved_flat: Dict[str, np.ndarray],
+                 prefix: str = "") -> Dict[str, Any]:
+    """Prefix-stripped partial load (reference ``loadpart``,
+    infer_model.py:128-138): graft every saved entry whose prefix-stripped
+    path exists in ``params``; report the count."""
+    grafts: Dict[str, Any] = {}
+    num = 0
+    for key, value in saved_flat.items():
+        stripped = key[len(prefix):] if prefix and key.startswith(prefix) \
+            else key.replace(prefix, "")
+        path = [p for p in stripped.split("/") if p]
+        node = params
+        ok = True
+        for p in path[:-1]:
+            if isinstance(node, dict) and p in node:
+                node = node[p]
+            else:
+                ok = False
+                break
+        if not ok or not (isinstance(node, dict) and path and
+                          path[-1] in node):
+            continue
+        dst = grafts
+        for p in path[:-1]:
+            dst = dst.setdefault(p, {})
+        dst[path[-1]] = value
+        num += 1
+    print(f"{num} parameters loaded for '{prefix}'")
+    return graft_variables({"params": params}, {"params": grafts})["params"]
+
+
 def load_stage2_model(variables: Dict[str, Any], path: str):
     """Full stage-2 resume (train_net_dynamic.py:84-89): restores variables
     by template; returns (variables, epoch, opt_state_raw or None)."""

@@ -255,6 +255,7 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
         return info
 
     best = {"epoch": 0, "activities_acc": 0.0}
+    total_timer = Timer()
     if cfg.test_before_train:
         info = run_eval(state, 0)
         show_epoch_info("Test", cfg.log_path, info)
@@ -310,4 +311,11 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
                     filepath, {"params": state.params,
                                "batch_stats": state.batch_stats})
                 print_log(cfg.log_path, "model saved to: " + filepath)
+
+    # final summary + experiment db (utils.py:131-158)
+    from din_tpu.utils.logging import log_final_exp_result
+    log_final_exp_result(
+        cfg.log_path, os.path.join(cfg.result_root, "experiments.json"),
+        {"cfg": cfg, "best_result": best,
+         "total_time": total_timer.timeit() / 3600.0})
     return best

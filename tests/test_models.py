@@ -150,3 +150,18 @@ def test_dynamic_collective_masked_equals_sliced(rng):
     np.testing.assert_allclose(np.asarray(out13["activities"]),
                                np.asarray(out9["activities"]),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_gcnnet_collective_three_crop_eval(rng):
+    """Legacy collective 3-crop eval averaging (gcn_model.py:322-327)."""
+    cfg = _cfg(dataset_name="collective", training_stage=2, num_boxes=13,
+               num_actions=5, num_activities=4, num_frames=3,
+               inference_module_name="gcnnet_collective")
+    model = build_model(cfg)
+    images, boxes = _batch(rng, cfg, B=1, t=9)
+    counts = jnp.full((1, 9), 9, jnp.int32)
+    out, _ = _init_and_run(model, images, boxes, bboxes_num=counts,
+                           train=False)
+    assert out["activities"].shape == (1, 4)
+    assert out["actions"].shape == (13, 5)
+    assert out["actions_mask"].shape == (13,)
