@@ -127,6 +127,8 @@ class Config:
     donate_step_buffers: bool = True
     measure_mad: bool = False            # MAD diagnostics on DIN eval
     profile_dir: Optional[str] = None    # jax.profiler trace output dir
+    debug_nans: bool = False             # jax nan-checking (debug runs)
+    auto_resume: bool = False            # resume latest ckpt in result_path
 
     # Derived at init_config()
     result_path: Optional[str] = None

@@ -156,6 +156,21 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
     best eval info dict."""
     cfg.init_config()
     show_config(cfg)
+    if cfg.debug_nans:
+        # crash-fast NaN detection (the closest TPU analogue of a
+        # sanitizer run — SURVEY.md §5 'race detection / sanitizers')
+        jax.config.update("jax_debug_nans", True)
+
+    # elastic recovery: pick up the newest checkpoint in result_path
+    # (crash = lost run in the reference; SURVEY.md §5 failure detection)
+    if cfg.auto_resume and cfg.training_stage == 2 and not cfg.stage2model:
+        ckpts = sorted(
+            (f for f in os.listdir(cfg.result_path) if f.endswith(".ckpt")),
+            key=lambda f: int(f.split("epoch")[1].split("_")[0]))
+        if ckpts:
+            cfg.stage2model = os.path.join(cfg.result_path, ckpts[-1])
+            cfg.load_stage2model = True
+            cfg.load_backbone_stage2 = False
 
     training_set, validation_set = return_dataset(cfg)
     train_loader = BatchLoader(training_set, cfg.batch_size, shuffle=True,

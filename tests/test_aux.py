@@ -71,3 +71,17 @@ def test_gflops_and_params():
     assert 0.9 * (2 * 128 * 256 * 512 / 1e9) <= g <= \
         1.5 * (2 * 128 * 256 * 512 / 1e9)
     assert param_count({"w": np.zeros((3, 4)), "b": np.zeros(4)}) == 16
+
+
+def test_auto_resume(tmp_path):
+    """auto_resume picks up the newest checkpoint in a fixed exp dir."""
+    cfg1 = _smoke_cfg(tmp_path, max_epoch=1, exp_note="ar",
+                      exp_name="fixed_exp", backbone="alex",
+                      out_size=(1, 2), emb_features=256)
+    train_net(cfg1, max_steps_per_epoch=2)
+    cfg2 = _smoke_cfg(tmp_path, max_epoch=1, exp_note="ar",
+                      exp_name="fixed_exp", backbone="alex",
+                      out_size=(1, 2), emb_features=256, auto_resume=True)
+    train_net(cfg2, max_steps_per_epoch=2)
+    log = open(os.path.join(cfg2.result_path, "log.txt")).read()
+    assert "resuming at epoch 2" in log
