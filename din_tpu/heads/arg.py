@@ -14,7 +14,7 @@ The reference's in-place mutation of ``boxes_in_flat`` into centres
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

@@ -31,7 +31,7 @@ numerically equivalent (sampled out-of-roster cells are zero either way).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax

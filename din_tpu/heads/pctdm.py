@@ -13,7 +13,7 @@ gate order (i, f, g, o) so torch LSTM weights port directly
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,7 @@ instantiates — provided for capability parity.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

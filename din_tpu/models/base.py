@@ -9,7 +9,7 @@ the activity max-pool and flagged in ``actions_mask`` for the loss.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

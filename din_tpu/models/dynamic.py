@@ -6,7 +6,7 @@ reference: infer_model.py:15-234 (Dynamic_volleyball), 237-468
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ torch-checkpoint port reorders the weight (din_tpu/nn/torch_port.py
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax

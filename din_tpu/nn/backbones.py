@@ -19,7 +19,7 @@ inception eps 1e-3.  ``train`` toggles batch-stat updates; the engine's
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

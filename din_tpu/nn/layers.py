@@ -8,7 +8,7 @@ dynamic_infer_module.py:102-106); ``kaiming_linear`` reproduces that
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Tuple, Union
 
 import flax.linen as nn
 import jax

@@ -308,8 +308,6 @@ def roi_align(features: jax.Array, boxes: jax.Array,
     if impl == "auto":
         # Interp-matrix cost scales with H*W; fall back to gather for the
         # big Inception-v3 stage-1 maps (87x157).
-        n = boxes.shape[1]
-        wbytes = n * crop_size[0] * H * 4 + n * crop_size[1] * W * 4
         impl = "onehot" if H * W <= 8192 else "gather"
     if impl == "onehot":
         return _roi_align_onehot(features, boxes, crop_size)

@@ -16,7 +16,7 @@ restores epoch and optimizer too.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np

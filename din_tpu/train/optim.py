@@ -11,8 +11,6 @@ trunk also stop-gradients them, so no backbone backward is even computed).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
-
 import jax
 import jax.numpy as jnp
 import optax

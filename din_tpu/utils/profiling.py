@@ -10,7 +10,7 @@ cost analysis (exact for the program XLA actually runs) and wrap
 from __future__ import annotations
 
 import contextlib
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 
