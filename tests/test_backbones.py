@@ -192,3 +192,63 @@ def test_registry():
         assert build_backbone(name) is not None
     with pytest.raises(ValueError):
         build_backbone("nope")
+
+
+class _TBasicConv2d(tnn.Module):
+    """torchvision BasicConv2d replica (conv bias=False + BN eps=1e-3)."""
+
+    def __init__(self, inp, out, **kw):
+        super().__init__()
+        self.conv = tnn.Conv2d(inp, out, bias=False, **kw)
+        self.bn = tnn.BatchNorm2d(out, eps=0.001)
+
+    def forward(self, x):
+        return torch.relu(self.bn(self.conv(x)))
+
+
+class _TInceptionA(tnn.Module):
+    """torchvision InceptionA replica (same attribute names)."""
+
+    def __init__(self, in_ch, pool_features):
+        super().__init__()
+        self.branch1x1 = _TBasicConv2d(in_ch, 64, kernel_size=1)
+        self.branch5x5_1 = _TBasicConv2d(in_ch, 48, kernel_size=1)
+        self.branch5x5_2 = _TBasicConv2d(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = _TBasicConv2d(in_ch, 64, kernel_size=1)
+        self.branch3x3dbl_2 = _TBasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = _TBasicConv2d(96, 96, kernel_size=3, padding=1)
+        self.branch_pool = _TBasicConv2d(in_ch, pool_features, kernel_size=1)
+
+    def forward(self, x):
+        import torch.nn.functional as F
+        b1 = self.branch1x1(x)
+        b5 = self.branch5x5_2(self.branch5x5_1(x))
+        b3 = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))
+        return torch.cat([b1, b5, b3, bp], 1)
+
+
+def test_inception_a_block_parity(rng):
+    """InceptionA through the weight port matches the torch replica —
+    validates the inception branch naming + BN eps in the converter."""
+    from din_tpu.nn.backbones import _InceptionA
+    tmodel = _TInceptionA(32, 16)
+    for m in tmodel.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.data = torch.randn_like(m.running_mean) * 0.1
+            m.running_var.data = torch.rand_like(m.running_var) + 0.5
+    tmodel.eval()
+    x = rng.randn(1, 32, 9, 11).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x)).numpy()
+
+    blk = _InceptionA(pool_features=16)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = blk.init(jax.random.PRNGKey(0), xj)
+    conv = convert_backbone_state(_to_numpy_state(tmodel), "inv3")
+    variables = graft_variables(variables, conv)
+    with jax.default_matmul_precision("highest"):
+        out = blk.apply(variables, xj)
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
