@@ -306,9 +306,18 @@ def roi_align(features: jax.Array, boxes: jax.Array,
     B, H, W, C = features.shape
     boxes = jax.lax.stop_gradient(boxes.astype(jnp.float32))
     if impl == "auto":
-        # Interp-matrix cost scales with H*W; fall back to gather for the
-        # big Inception-v3 stage-1 maps (87x157).
-        impl = "onehot" if H * W <= 8192 else "gather"
+        # The fused Pallas kernel wins on TPU when the per-frame feature
+        # block fits VMEM; the interp-matrix einsum covers other devices;
+        # gather covers the big Inception-v3 stage-1 maps (87x157).
+        n = boxes.shape[1]
+        rows = n * crop_size[0] * crop_size[1]
+        vmem_bytes = (H * W * C + rows * C) * features.dtype.itemsize \
+            + rows * H * W * 4
+        if (jax.default_backend() == "tpu" and vmem_bytes <= 8 * 2 ** 20
+                and H * W <= 4096):
+            impl = "pallas"
+        else:
+            impl = "onehot" if H * W <= 8192 else "gather"
     if impl == "onehot":
         return _roi_align_onehot(features, boxes, crop_size)
     if impl == "gather":
