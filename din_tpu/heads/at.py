@@ -42,7 +42,7 @@ class ActorTransformer(nn.Module):
 
         att_v = nn.Dropout(self.dropout, deterministic=deterministic,
                            name="dropout1")(att_v)
-        x = nn.LayerNorm(name="layernorm1")(x + att_v)
+        x = nn.LayerNorm(epsilon=1e-5, name="layernorm1")(x + att_v)
         y = dense(self.in_dim, True, "FFN_linear1")(x)
         y = nn.relu(y)
         # the reference applies dropout2 inside the FFN and again on its
@@ -52,4 +52,4 @@ class ActorTransformer(nn.Module):
         y = dense(self.in_dim, True, "FFN_linear2")(y)
         y = nn.Dropout(self.dropout, deterministic=deterministic,
                        name="dropout2b")(y)
-        return nn.LayerNorm(name="layernorm2")(x + y)
+        return nn.LayerNorm(epsilon=1e-5, name="layernorm2")(x + y)

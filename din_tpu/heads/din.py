@@ -297,7 +297,7 @@ class HierarchicalDynamicInference(nn.Module):
             kernel_size=tuple(self.kernel_sizes[0]), name="DPI_1",
             **common)(x, return_mad=False)
         T, N = ft.shape[1], ft.shape[2]
-        ft = nn.LayerNorm(reduction_axes=(-3, -2, -1),
+        ft = nn.LayerNorm(epsilon=1e-5, reduction_axes=(-3, -2, -1),
                           feature_axes=(-3, -2, -1), name="hier_LN")(ft)
         ft = nn.relu(ft)
         ft = nn.Dropout(0.5, deterministic=deterministic)(ft)

@@ -79,7 +79,7 @@ class SpatialAtt(nn.Module):
         w_out = nn.Dense(self.in_dim, use_bias=False,
                          kernel_init=kaiming_normal_init, precision="highest",
                          dtype=self.dtype, name="W_out")
-        ln1 = nn.LayerNorm(name="layernorm1")
+        ln1 = nn.LayerNorm(epsilon=1e-5, name="layernorm1")
         ffn1 = nn.Dense(self.in_dim, kernel_init=kaiming_normal_init,
                         precision="highest", dtype=self.dtype,
                         name="FFN_linear1")
@@ -130,7 +130,7 @@ class TemporalAtt(nn.Module):
                          dtype=self.dtype, name="W_out")(heads)
         heads = nn.Dropout(self.dropout, deterministic=deterministic,
                            name="dropout1")(heads)
-        heads = nn.LayerNorm(name="layernorm1")(heads + xt)
+        heads = nn.LayerNorm(epsilon=1e-5, name="layernorm1")(heads + xt)
         y = nn.relu(nn.Dense(self.in_dim, kernel_init=kaiming_normal_init,
                              precision="highest", dtype=self.dtype,
                              name="FFN_linear1")(heads))

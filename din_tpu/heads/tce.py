@@ -56,7 +56,7 @@ class EmbfeatureContextEncoding(nn.Module):
         ctx = jnp.einsum("bnp,bpc->bnc", att, img_flat, precision="highest")
         ctx = nn.Dropout(self.context_dropout, deterministic=deterministic,
                          name="dropout")(ctx)
-        ctx = nn.LayerNorm(name="layernorm1")(ctx + emb)
+        ctx = nn.LayerNorm(epsilon=1e-5, name="layernorm1")(ctx + emb)
         y = nn.Dense(NFC, kernel_init=nn.initializers.lecun_normal(),
                      precision="highest", dtype=self.dtype, name="FFN_1")(ctx)
         y = nn.relu(y)
@@ -64,7 +64,7 @@ class EmbfeatureContextEncoding(nn.Module):
                        name="FFN_dropout")(y)
         y = nn.Dense(NFC, kernel_init=nn.initializers.lecun_normal(),
                      precision="highest", dtype=self.dtype, name="FFN_2")(y)
-        return nn.LayerNorm(name="layernorm2")(ctx + y)
+        return nn.LayerNorm(epsilon=1e-5, name="layernorm2")(ctx + y)
 
 
 class MultiHeadTCE(nn.Module):
@@ -135,7 +135,7 @@ class STBilinearMessagePassing(nn.Module):
         e = jnp.where(jnp.isnan(e), 0.0, e)
         msg = dense(self.message_dim, False, "W_e2")(x)
         msg = jnp.einsum("bnm,bmf->bnf", e, msg, precision="highest")
-        msg = nn.LayerNorm(name="layernorm")(msg)
+        msg = nn.LayerNorm(epsilon=1e-5, name="layernorm")(msg)
         msg = nn.relu(msg)
         out = dense(self.emb_dim, False, "W_e1")(msg)
         return out.reshape(BT, N, -1)

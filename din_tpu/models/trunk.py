@@ -166,7 +166,7 @@ class EmbedActors(nn.Module):
                      precision="highest", dtype=self.dtype,
                      name="fc_emb_1")(x)
         if self.use_layernorm:
-            x = nn.LayerNorm(name="nl_emb_1")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="nl_emb_1")(x)
         x = nn.relu(x)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=deterministic,
