@@ -1,11 +1,15 @@
-"""Benchmark: training throughput of the flagship recipe on one TPU chip.
+"""Benchmark: training throughput + MFU of the flagship recipe on one chip.
 
 Measures steady-state clips/sec of the full compiled training step
-(backbone fwd+bwd + RoIAlign + DIN + loss + Adam) for the reference's
+(backbone fwd+bwd + RoIAlign + head + loss + Adam) for the reference's
 headline config — stage-2 DIN volleyball, VGG-16, T=10 frames, N=12 actors,
 720x1280 input, lite_dim=128 (scripts/train_volleyball_stage2_dynamic.py) —
 on synthetic device-resident batches (input pipeline excluded; it is
 overlapped via host prefetch in real training).
+
+MFU = compiled-HLO flops / step time / 197 TFLOP/s (TPU v5e bf16 peak);
+exact for the program XLA actually runs (padding waste shows up as LOW MFU,
+not as inflated flops).
 
 ``vs_baseline``: the reference publishes no throughput (BASELINE.md). The
 comparison point is an analytic TITAN-RTX estimate for the same recipe:
@@ -13,74 +17,344 @@ VGG-16 at 720x1280 is ~285 GFLOP/frame forward, x3 for fwd+bwd, x10 frames
 = ~8.6 TFLOP/clip; TITAN RTX fp32 peak 16.3 TFLOPS at ~50% utilisation
 gives ~1.0 clip/sec.  vs_baseline = measured / 1.0.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline",
+"mfu", "step_ms", "hlo_tflop"}.  Secondary benches (stage-1 inv3, HiGCIN,
+RoIAlign impl check) print their own JSON lines to stderr; each is
+individually fenced so a failure cannot take down the primary metric.
+Set DIN_TPU_BENCH_FAST=1 to skip the secondary benches.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
-import jax
 import numpy as np
 
 TITAN_RTX_CLIPS_PER_SEC_EST = 1.0
+V5E_BF16_PEAK = 197e12
 
 
-def main():
-    from __graft_entry__ import _flagship_cfg, _make_batch
+def _log(obj):
+    print(json.dumps(obj), file=sys.stderr)
+
+
+def _compiled_flops(step, *args) -> float:
+    try:
+        analysis = step.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return float(dict(analysis or {}).get("flops", float("nan")))
+    except Exception as e:  # pragma: no cover - cost analysis best-effort
+        _log({"metric": "cost_analysis_error", "error": str(e)[:200]})
+        return float("nan")
+
+
+def _backbone_body_flops(cfg, chunk):
+    """HLO flops of ONE rematted backbone micro-batch fwd+bwd (the scan
+    body).  XLA cost analysis counts a while body ONCE regardless of trip
+    count, so the step-level number must be corrected by
+    (num_chunks - 1) x body."""
+    import jax
+    import jax.numpy as jnp
+
+    from din_tpu.nn.backbones import build_backbone
+
+    H, W = cfg.image_size
+    bb = build_backbone(cfg.backbone, dtype=jnp.dtype(cfg.compute_dtype))
+    frames = jnp.zeros((chunk, H, W, 3), jnp.dtype(cfg.compute_dtype))
+    variables = bb.init(jax.random.PRNGKey(0), frames, False)
+
+    def loss(params, x):
+        apply = lambda p, xx: sum(
+            o.astype(jnp.float32).sum()
+            for o in bb.apply({"params": p,
+                               **({"batch_stats": variables["batch_stats"]}
+                                  if "batch_stats" in variables else {})},
+                              xx, False))
+        return jax.checkpoint(apply)(params, x)
+
+    g = jax.jit(jax.grad(loss, argnums=0))
+    return _compiled_flops(g, variables["params"], frames)
+
+
+def _bench_train_step(cfg, warmup=3, iters=10):
+    """Build + time the full train step for cfg; returns (dt, flops)."""
+    import jax
+
+    from __graft_entry__ import _make_batch
     from din_tpu.models.registry import build_model
+    from din_tpu.models.trunk import Trunk
     from din_tpu.train.engine import TrainState, init_model, make_train_step
     from din_tpu.train.optim import make_optimizer
 
-    # throughput config: batch 4 clips (40 frames), 8-frame backbone
-    # micro-batches (sublane-aligned, fits HBM with remat); saturates the
-    # chip — bs8 gives the same clips/sec
-    cfg = _flagship_cfg(tiny=False).replace(batch_size=4, frame_chunk=8)
-    batch_size = cfg.batch_size
     model = build_model(cfg)
-    batch = _make_batch(cfg, batch_size=batch_size)
+    batch = _make_batch(cfg, batch_size=cfg.batch_size)
     variables = init_model(cfg, model, batch)
     tx = make_optimizer(cfg, variables["params"])
     state = TrainState(params=variables["params"],
                        batch_stats=variables.get("batch_stats", {}),
                        opt_state=tx.init(variables["params"]),
                        rng=jax.random.PRNGKey(0))
-    step = make_train_step(model, cfg, tx, frame0_labels=True,
+    step = make_train_step(model, cfg, tx,
+                           frame0_labels=cfg.training_stage == 2,
                            has_bn=bool(variables.get("batch_stats")),
-                           donate=True)
-
+                           donate=False)
     dbatch = jax.device_put(batch)
-    t0 = time.perf_counter()
-    state, metrics = step(state, dbatch)
-    jax.block_until_ready(metrics["loss"])
-    compile_s = time.perf_counter() - t0
+    flops = _compiled_flops(step, state, dbatch)
+    n_frames = cfg.batch_size * cfg.num_frames
+    chunk = Trunk(backbone=cfg.backbone, out_size=tuple(cfg.out_size),
+                  crop_size=tuple(cfg.crop_size),
+                  train_backbone=cfg.train_backbone,
+                  frame_chunk=cfg.frame_chunk)._auto_chunk(
+        n_frames, *cfg.image_size)
+    num_chunks = n_frames // chunk
+    if num_chunks > 1 and cfg.train_backbone:
+        flops += (num_chunks - 1) * _backbone_body_flops(cfg, chunk)
 
+    state, metrics = step(state, dbatch)
     # NOTE: device->host transfer (float()) is the sync point; the remote
     # device tunnel used in this environment does not honour
     # block_until_ready reliably.
-    warmup, iters = 3, 10
-    for _ in range(warmup):
+    _ = float(metrics["loss"])
+    for _i in range(warmup):
         state, metrics = step(state, dbatch)
     _ = float(metrics["loss"])
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _i in range(iters):
         state, metrics = step(state, dbatch)
     _ = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
+    return dt, flops, float(metrics["loss"])
 
-    clips_per_sec = batch_size / dt
-    result = {
-        "metric": "train_clips_per_sec_din_vgg16_t10_bs%d" % batch_size,
-        "value": round(clips_per_sec, 3),
+
+def _flagship():
+    from __graft_entry__ import _flagship_cfg
+
+    # throughput config: batch 4 clips (40 frames), 8-frame backbone
+    # micro-batches (sublane-aligned, fits HBM with remat)
+    cfg = _flagship_cfg(tiny=False).replace(batch_size=4, frame_chunk=8)
+    dt, flops, loss = _bench_train_step(cfg)
+    clips = cfg.batch_size / dt
+    mfu = flops / dt / V5E_BF16_PEAK
+    _log({"metric": "flagship_loss", "value": loss})
+    return cfg, clips, {
+        "metric": "train_clips_per_sec_din_vgg16_t10_bs%d" % cfg.batch_size,
+        "value": round(clips, 3),
         "unit": "clips/sec/chip",
-        "vs_baseline": round(clips_per_sec / TITAN_RTX_CLIPS_PER_SEC_EST, 3),
+        "vs_baseline": round(clips / TITAN_RTX_CLIPS_PER_SEC_EST, 3),
+        "mfu": round(mfu, 4),
+        "step_ms": round(dt * 1e3, 1),
+        "hlo_tflop": round(flops / 1e12, 3),
     }
-    print(json.dumps(result))
-    import sys
-    print(f"# step {dt*1e3:.1f} ms  compile {compile_s:.1f}s  "
-          f"loss {float(metrics['loss']):.4f}  device {jax.devices()[0]}",
-          file=sys.stderr)
+
+
+class _JpegClips:
+    """Synthetic on-disk JPEG dataset at full flagship geometry: every
+    __getitem__ decodes T real 720x1280 JPEG files through the native
+    batch decoder (din_tpu/native) exactly like the real datasets."""
+
+    def __init__(self, tmpdir, cfg, n_clips=16, pool=12):
+        import numpy as np
+        from PIL import Image
+
+        self.cfg = cfg
+        self.n_clips = n_clips
+        rng = np.random.RandomState(0)
+        H, W = cfg.image_size
+        self.paths = []
+        base_y = np.linspace(0, 255, H, dtype=np.float32)[:, None, None]
+        base_x = np.linspace(0, 255, W, dtype=np.float32)[None, :, None]
+        for i in range(pool):
+            img = (base_y * rng.rand() + base_x * rng.rand()
+                   + rng.rand(1, 1, 3) * 64) % 255
+            noise = rng.randint(0, 32, (H // 8, W // 8, 3)).astype(np.float32)
+            img = np.clip(img + np.kron(noise, np.ones((8, 8, 1))), 0, 255)
+            p = f"{tmpdir}/{i}.jpg"
+            Image.fromarray(img.astype("uint8")).save(p, quality=90)
+            self.paths.append(p)
+        self._rng = rng
+
+    def __len__(self):
+        return self.n_clips
+
+    def __getitem__(self, i):
+        import numpy as np
+
+        from __graft_entry__ import _make_batch
+        from din_tpu import native
+
+        cfg = self.cfg
+        T = cfg.num_frames
+        paths = [self.paths[(i + t) % len(self.paths)] for t in range(T)]
+        images = native.load_frames(paths, *cfg.image_size)
+        proto = _make_batch(cfg, batch_size=1,
+                            rng=np.random.RandomState(i))
+        return {"images": images,
+                "boxes": proto["boxes"][0],
+                "actions": proto["actions"][0],
+                "activities": proto["activities"][0]}
+
+
+def _loader_in_loop(cfg, device_resident_clips):
+    """End-to-end steps/sec with JPEG decode in the loop (decode-ahead ring
+    buffer + host->device prefetch); target: within 10% of device-resident."""
+    import shutil
+    import tempfile
+
+    import jax
+
+    from __graft_entry__ import _make_batch
+    from din_tpu.data.loader import BatchLoader, prefetch_to_device
+    from din_tpu.models.registry import build_model
+    from din_tpu.train.engine import TrainState, init_model, make_train_step
+    from din_tpu.train.optim import make_optimizer
+
+    tmpdir = tempfile.mkdtemp(prefix="din_bench_jpeg_")
+    try:
+        ds = _JpegClips(tmpdir, cfg, n_clips=8 * cfg.batch_size)
+        model = build_model(cfg)
+        batch = _make_batch(cfg, batch_size=cfg.batch_size)
+        variables = init_model(cfg, model, batch)
+        tx = make_optimizer(cfg, variables["params"])
+        state = TrainState(params=variables["params"],
+                           batch_stats=variables.get("batch_stats", {}),
+                           opt_state=tx.init(variables["params"]),
+                           rng=jax.random.PRNGKey(0))
+        step = make_train_step(model, cfg, tx, frame0_labels=True,
+                               has_bn=bool(variables.get("batch_stats")),
+                               donate=False)
+        loader = BatchLoader(ds, cfg.batch_size, shuffle=True, num_workers=4)
+        # host-side pipeline alone (decode + stack, no device transfer):
+        # this is the part the framework owns; it must be faster than the
+        # device step so prefetch can hide it
+        for _b in iter(loader):
+            pass                                   # decode warm-up
+        t0 = time.perf_counter()
+        n = 0
+        for _b in iter(loader):
+            n += cfg.batch_size
+        decode_clips = n / (time.perf_counter() - t0)
+        # warm epoch (compile + decode warm-up)
+        for b in prefetch_to_device(iter(loader), size=2):
+            state, m = step(state, b)
+        _ = float(m["loss"])
+        t0 = time.perf_counter()
+        n = 0
+        for b in prefetch_to_device(iter(loader), size=2):
+            state, m = step(state, b)
+            n += cfg.batch_size
+        _ = float(m["loss"])
+        dt = time.perf_counter() - t0
+        clips = n / dt
+        _log({"metric": "train_clips_per_sec_loader_in_loop",
+              "value": round(clips, 3), "unit": "clips/sec/chip",
+              "fraction_of_device_resident":
+                  round(clips / max(device_resident_clips, 1e-9), 3),
+              "host_decode_clips_per_sec": round(decode_clips, 3),
+              # NOTE: in this environment the chip is behind a remote
+              # tunnel; jax.device_put runs at ~13 MB/s (7.5 s per 110 MB
+              # uint8 batch), which caps the end-to-end number.  On a real
+              # TPU host (PCIe) the decode rate above is the binding term.
+              "note": "end-to-end capped by remote-tunnel device_put"})
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def _secondary_recipes():
+    """Stage-1 inv3 (the most expensive recipe) + HiGCIN (K=7) throughput."""
+    from din_tpu.experiments.presets import PRESETS
+
+    recipes = {
+        # stage-1 volleyball inv3 at 87x157 (scripts/train_volleyball_stage1.py)
+        "train_clips_per_sec_stage1_inv3_bs4":
+            lambda: PRESETS["volleyball_stage1"]().replace(
+                batch_size=4, frame_chunk=6),
+        # HiGCIN stage-2 (K=7 cross-infer blocks)
+        "train_clips_per_sec_higcin_bs4":
+            lambda: PRESETS["volleyball_stage2_higcin"]().replace(
+                batch_size=4, frame_chunk=8),
+    }
+    for name, make_cfg in recipes.items():
+        try:
+            cfg = make_cfg()
+            dt, flops, _ = _bench_train_step(cfg, warmup=1, iters=3)
+            frames_per_clip = cfg.num_frames
+            clips = cfg.batch_size / dt
+            # stage-1 samples single frames in the reference; here T frames
+            # per clip either way — report clips/sec at this T
+            _log({"metric": name, "value": round(clips, 3),
+                  "unit": "clips/sec/chip (T=%d)" % frames_per_clip,
+                  "step_ms": round(dt * 1e3, 1),
+                  "mfu": round(flops / dt / V5E_BF16_PEAK, 4)})
+        except Exception as e:
+            _log({"metric": name, "error": str(e)[:300]})
+
+
+def _roi_align_check():
+    """On-device RoIAlign impl check: assert pallas == onehot (and gather ==
+    onehot) + time the impls at the stage-2 (45x80) and stage-1 inv3
+    (87x157) geometries.  The Pallas kernel only covers maps whose per-frame
+    block fits VMEM, so it is checked at 45x80 only."""
+    import jax
+    import jax.numpy as jnp
+
+    from din_tpu.ops.roi_align import roi_align
+
+    rng = np.random.RandomState(0)
+    for OH, OW, D in ((45, 80, 512), (87, 157, 1056)):
+        BT, N, K = 8, 12, 5
+        feats = jnp.asarray(rng.randn(BT, OH, OW, D), jnp.bfloat16)
+        x1 = rng.uniform(0, OW - 3, (BT, N))
+        y1 = rng.uniform(0, OH - 3, (BT, N))
+        boxes = jnp.asarray(np.stack([x1, y1, x1 + 2.5, y1 + 2.7], -1),
+                            jnp.float32)
+        outs, times = {}, {}
+        impls = ("pallas", "onehot", "gather") if OH * OW <= 4096 \
+            else ("onehot", "gather")
+        for impl in impls:
+            try:
+                f = jax.jit(lambda ft, bx, impl=impl: roi_align(
+                    ft, bx, (K, K), impl=impl))
+                out = f(feats, boxes)
+                _ = float(out.astype(jnp.float32).sum())
+                t0 = time.perf_counter()
+                for _i in range(10):
+                    out = f(feats, boxes)
+                _ = float(out.astype(jnp.float32).sum())
+                times[impl] = (time.perf_counter() - t0) / 10
+                outs[impl] = np.asarray(out.astype(jnp.float32))
+            except Exception as e:
+                _log({"metric": f"roi_align_{impl}_{OH}x{OW}",
+                      "error": str(e)[:200]})
+        ref_impl = "onehot"
+        for other in ("pallas", "gather"):
+            if other in outs and ref_impl in outs:
+                diff = float(np.abs(outs[other] - outs[ref_impl]).max())
+                assert diff < 0.1, f"{other} vs onehot mismatch: {diff}"
+        _log({"metric": f"roi_align_impls_{OH}x{OW}",
+              "max_abs_diff_vs_onehot": {
+                  k: float(np.abs(outs[k] - outs[ref_impl]).max())
+                  for k in outs if k != ref_impl},
+              "times_ms": {k: round(v * 1e3, 3) for k, v in times.items()}})
+
+
+def main():
+    cfg, clips, primary = _flagship()
+    if os.environ.get("DIN_TPU_BENCH_FAST") != "1":
+        try:
+            _roi_align_check()
+        except Exception as e:
+            _log({"metric": "roi_align_check", "error": str(e)[:300]})
+        try:
+            _loader_in_loop(cfg, clips)
+        except Exception as e:
+            _log({"metric": "loader_in_loop", "error": str(e)[:300]})
+        _secondary_recipes()
+    # the primary metric is the LAST line, on stdout (driver contract)
+    print(json.dumps(primary))
 
 
 if __name__ == "__main__":

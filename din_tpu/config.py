@@ -121,6 +121,7 @@ class Config:
     prefetch_depth: int = 2              # host->device pipeline depth
     roi_align_impl: str = "auto"         # auto|onehot|gather|pallas
     frame_chunk: Optional[int] = None    # frames per backbone micro-batch
+    remat_policy: str = "full"           # 'full' | 'save_deep' backbone remat
     pretrained_backbone_path: Optional[str] = None  # torch state_dict file (optional)
     result_root: str = "result"
     num_workers: int = 4                 # host decode threads

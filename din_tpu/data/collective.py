@@ -107,21 +107,23 @@ class CollectiveDataset:
         return [(sid, src_fid, fid)
                 for fid in range(src_fid, src_fid + self.num_frames)]
 
-    def _load_frame_image(self, sid, fid):
-        # native libjpeg decode+resize (DCT prescale + bilinear), PIL
-        # fallback — see din_tpu/native/din_loader.cc
+    def _load_clip_images(self, select):
+        # whole-clip native libjpeg decode+resize in one batched call
+        # (DCT prescale + bilinear), PIL fallback — din_tpu/native
         from din_tpu import native
-        return native.load_frame(
-            os.path.join(self.images_path, "seq%02d" % sid,
-                         "frame%04d.jpg" % fid),
-            self.image_size[0], self.image_size[1])
+        paths = [os.path.join(self.images_path, "seq%02d" % sid,
+                              "frame%04d.jpg" % fid)
+                 for (sid, _src, fid) in select]
+        return native.load_frames(paths, self.image_size[0],
+                                  self.image_size[1])
 
     def __getitem__(self, index):
         select = self.sample_frames(self.frames[index])
         OH, OW = self.feature_size
+        clip_images = self._load_clip_images(select)
         images, boxes, actions, activities, counts = [], [], [], [], []
-        for (sid, src_fid, fid) in select:
-            images.append(self._load_frame_image(sid, fid))
+        for fi, (sid, src_fid, fid) in enumerate(select):
+            images.append(clip_images[fi])
             ann = self.anns[sid][src_fid]
             frame_boxes = [(x1 * OW, y1 * OH, x2 * OW, y2 * OH)
                            for (y1, x1, y2, x2) in ann["bboxes"]]

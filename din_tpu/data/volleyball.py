@@ -116,21 +116,22 @@ class VolleyballDataset:
             return [(sid, src_fid, fid) for fid in order]
         return [(sid, src_fid, fid) for fid in range(lo, hi + 1)]
 
-    def _load_frame_image(self, sid, src_fid, fid):
-        # native libjpeg decode+resize (DCT prescale + bilinear), PIL
-        # fallback — see din_tpu/native/din_loader.cc
+    def _load_clip_images(self, select):
+        # whole-clip native libjpeg decode+resize in one batched call
+        # (DCT prescale + bilinear), PIL fallback — din_tpu/native
         from din_tpu import native
-        return native.load_frame(
-            os.path.join(self.images_path, str(sid), str(src_fid),
-                         f"{fid}.jpg"),
-            self.image_size[0], self.image_size[1])
+        paths = [os.path.join(self.images_path, str(sid), str(src_fid),
+                              f"{fid}.jpg") for (sid, src_fid, fid) in select]
+        return native.load_frames(paths, self.image_size[0],
+                                  self.image_size[1])
 
     def __getitem__(self, index):
         select = self.sample_frames(self.frames[index])
         OH, OW = self.feature_size
+        clip_images = self._load_clip_images(select)
         images, boxes, actions, activities = [], [], [], []
-        for (sid, src_fid, fid) in select:
-            images.append(self._load_frame_image(sid, src_fid, fid))
+        for fi, (sid, src_fid, fid) in enumerate(select):
+            images.append(clip_images[fi])
             tracks = np.asarray(self.tracks[(sid, src_fid)][fid], np.float64)
             y1, x1, y2, x2 = tracks.T
             frame_boxes = np.stack([x1 * OW, y1 * OH, x2 * OW, y2 * OH], -1)

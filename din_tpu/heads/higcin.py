@@ -58,7 +58,7 @@ class CrossInferBlock(nn.Module):
         out = w_out + x
 
         # torch BatchNorm2d over channels, stats across (B, T, S)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, axis=-1, dtype=self.dtype,
-                           name="bn")(out)
+        from din_tpu.nn.layers import TorchBatchNorm
+        out = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name="bn")(out)
         return out

@@ -40,7 +40,9 @@ class BasenetVolleyball(nn.Module):
             crop_size=tuple(cfg.crop_size), train_backbone=cfg.train_backbone,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             roi_align_impl=cfg.roi_align_impl,
-                 frame_chunk=cfg.frame_chunk, name="trunk")(
+            frame_chunk=cfg.frame_chunk,
+            remat_policy=getattr(cfg, "remat_policy", "full"),
+            name="trunk")(
                 images, boxes, bn_train=train and not cfg.set_bn_eval)
         # stage-1 embedding: fc_emb + ReLU + dropout (base_model.py:119-121)
         feats = EmbedActors(nfb=cfg.num_features_boxes, use_layernorm=False,
@@ -74,7 +76,9 @@ class BasenetCollective(nn.Module):
             crop_size=tuple(cfg.crop_size), train_backbone=cfg.train_backbone,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             roi_align_impl=cfg.roi_align_impl,
-                 frame_chunk=cfg.frame_chunk, name="trunk")(
+            frame_chunk=cfg.frame_chunk,
+            remat_policy=getattr(cfg, "remat_policy", "full"),
+            name="trunk")(
                 images, boxes, bn_train=train and not cfg.set_bn_eval)
         feats = EmbedActors(nfb=cfg.num_features_boxes, use_layernorm=False,
                             dropout=cfg.train_dropout_prob,

@@ -31,7 +31,9 @@ def _make_trunk(cfg, name="trunk"):
                  train_backbone=cfg.train_backbone,
                  compute_dtype=jnp.dtype(cfg.compute_dtype),
                  roi_align_impl=cfg.roi_align_impl,
-                 frame_chunk=cfg.frame_chunk, name=name)
+                 frame_chunk=cfg.frame_chunk,
+                 remat_policy=getattr(cfg, "remat_policy", "full"),
+                 name=name)
 
 
 def _make_dpi(cfg, in_dim, name="DPI"):

@@ -76,6 +76,7 @@ class Trunk(nn.Module):
     compute_dtype: Any = jnp.bfloat16
     roi_align_impl: str = "auto"
     remat_backbone: bool = True
+    remat_policy: str = "full"          # 'full' | 'save_deep'
     frame_chunk: Optional[int] = None   # None = auto
 
     def _auto_chunk(self, n_frames: int, H: int, W: int) -> int:
@@ -83,7 +84,10 @@ class Trunk(nn.Module):
         early conv activations are ~0.5GB after TPU tile padding; chunking
         bounds the (rematted) backward working set to one chunk."""
         if self.frame_chunk:
-            return min(self.frame_chunk, n_frames)
+            chunk = min(self.frame_chunk, n_frames)
+            while n_frames % chunk:      # largest divisor <= requested
+                chunk -= 1
+            return chunk
         if not self.train_backbone:
             return n_frames
         budget_pixels = 8 * 768 * 1280          # ~8 full-HD frames
@@ -108,27 +112,38 @@ class Trunk(nn.Module):
         # Frames are independent through the backbone: scan over frame
         # micro-batches with rematted bodies so the backward holds only one
         # chunk's activations (lax.scan sequencing — an unrolled loop lets
-        # the scheduler interleave chunks and blows HBM).  Inside the scan
-        # BatchNorm runs on frozen running stats (batch_stats cannot mutate
-        # through a scan carry; the reference's collective trainer always
-        # freezes BN anyway, train_net_dynamic.py:324, and set_bn_eval
-        # covers volleyball); the unchunked path updates stats normally.
+        # the scheduler interleave chunks and blows HBM).  BatchNorm stays
+        # LIVE under chunking: batch_stats are carried through the scan, so
+        # each chunk normalises with its own batch statistics and folds them
+        # into the running stats sequentially — the exact analogue of the
+        # reference's nn.DataParallel training, where each replica's BN sees
+        # only its sub-batch and replica 0's running stats persist
+        # (train_net.py:77-78, torch _BatchNorm train mode).
         chunk = self._auto_chunk(B * T, H, W)
         num_chunks = (B * T) // chunk
         step_kwargs = dict(backbone_name=self.backbone,
                            dtype=self.compute_dtype,
                            remat=self.remat_backbone and self.train_backbone,
+                           remat_policy=self.remat_policy,
                            name="frames_scan")
         if num_chunks == 1:
             step_mod = _BackboneStep(bn_train=bn_train, **step_kwargs)
             _, outputs = step_mod(None, images.reshape(B * T, H, W * 3))
         else:
+            if self.is_initializing():
+                # collections can't be *created* as a scan carry; at init the
+                # stats are broadcast (created once), at apply they're
+                # carried (bn_train is always False during init_model)
+                coll = dict(variable_broadcast=("params", "batch_stats"))
+            else:
+                coll = dict(variable_broadcast="params",
+                            variable_carry="batch_stats")
             scanned = nn.scan(
                 _BackboneStep,
-                variable_broadcast=("params", "batch_stats"),
                 split_rngs={"params": False},
-                in_axes=0, out_axes=0,
-            )(bn_train=False, **step_kwargs)
+                in_axes=0, out_axes=0, **coll,
+            )(bn_train=bn_train and not self.is_initializing(),
+              **step_kwargs)
             packed = images.reshape(num_chunks, chunk, H, W * 3)
             _, outs = scanned(None, packed)
             outputs = [o.reshape((B * T,) + o.shape[2:]) for o in outs]

@@ -101,6 +101,26 @@ def decode_resize_batch(jpegs: List[bytes], out_h: int, out_w: int,
     return out
 
 
+def load_frames(paths: List[str], out_h: int, out_w: int,
+                n_threads: Optional[int] = None) -> np.ndarray:
+    """Decode+resize a clip's JPEG files in ONE native batch call
+    (din_loader.cc din_decode_resize_batch — its worker threads decode the
+    frames concurrently inside the ctypes call, outside the GIL); per-frame
+    PIL fallback.  Returns uint8 [len(paths), out_h, out_w, 3].
+
+    ``n_threads=None`` adapts to the host: single-core machines decode
+    serially (thread thrash measured 4x slower there), multi-core use up to
+    4 decoder threads.
+    """
+    if n_threads is None:
+        n_threads = max(1, min(4, (os.cpu_count() or 1) - 1))
+    try:
+        datas = [open(p, "rb").read() for p in paths]
+        return decode_resize_batch(datas, out_h, out_w, n_threads)
+    except (RuntimeError, OSError):
+        return np.stack([load_frame(p, out_h, out_w) for p in paths])
+
+
 def load_frame(path: str, out_h: int, out_w: int) -> np.ndarray:
     """Decode+resize one JPEG file, native with PIL fallback."""
     try:

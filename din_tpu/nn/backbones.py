@@ -25,7 +25,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
-from din_tpu.nn.layers import avg_pool_torch, max_pool_torch, torch_conv
+from din_tpu.nn.layers import (TorchBatchNorm, avg_pool_torch,
+                               fused_relu, max_pool_torch, torch_conv)
 
 # Activations cheap enough to keep under rematerialisation (deep layers at
 # reduced spatial resolution).  A remat policy of
@@ -59,7 +60,7 @@ class _VGG(nn.Module):
             else:
                 x = torch_conv(item, 3, padding=1, dtype=self.dtype,
                                name=f"features_{idx}")(x)
-                x = nn.relu(x)
+                x = fused_relu(x)
                 if item >= 256:      # quarter resolution and below
                     x = checkpoint_name(x, SAVEABLE_ACT)
                 idx += 2
@@ -86,14 +87,14 @@ class _BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        bn = lambda name: nn.BatchNorm(use_running_average=not train,
-                                       momentum=0.9, epsilon=1e-5,
-                                       dtype=self.dtype, name=name)
+        bn = lambda name: TorchBatchNorm(use_running_average=not train,
+                                         momentum=0.9, epsilon=1e-5,
+                                         dtype=self.dtype, name=name)
         identity = x
         out = torch_conv(self.features, 3, stride=self.stride, padding=1,
                          use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = bn("bn1")(out)
-        out = nn.relu(out)
+        out = fused_relu(out)
         out = torch_conv(self.features, 3, padding=1, use_bias=False,
                          dtype=self.dtype, name="conv2")(out)
         out = bn("bn2")(out)
@@ -102,7 +103,7 @@ class _BasicBlock(nn.Module):
                                   use_bias=False, dtype=self.dtype,
                                   name="downsample_0")(x)
             identity = bn("downsample_1")(identity)
-        return nn.relu(out + identity)
+        return fused_relu(out + identity)
 
 
 class _Bottleneck(nn.Module):
@@ -113,16 +114,16 @@ class _Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        bn = lambda name: nn.BatchNorm(use_running_average=not train,
-                                       momentum=0.9, epsilon=1e-5,
-                                       dtype=self.dtype, name=name)
+        bn = lambda name: TorchBatchNorm(use_running_average=not train,
+                                         momentum=0.9, epsilon=1e-5,
+                                         dtype=self.dtype, name=name)
         identity = x
         out = torch_conv(self.features, 1, use_bias=False, dtype=self.dtype,
                          name="conv1")(x)
-        out = nn.relu(bn("bn1")(out))
+        out = fused_relu(bn("bn1")(out))
         out = torch_conv(self.features, 3, stride=self.stride, padding=1,
                          use_bias=False, dtype=self.dtype, name="conv2")(out)
-        out = nn.relu(bn("bn2")(out))
+        out = fused_relu(bn("bn2")(out))
         out = torch_conv(self.features * 4, 1, use_bias=False,
                          dtype=self.dtype, name="conv3")(out)
         out = bn("bn3")(out)
@@ -131,7 +132,7 @@ class _Bottleneck(nn.Module):
                                   use_bias=False, dtype=self.dtype,
                                   name="downsample_0")(x)
             identity = bn("downsample_1")(identity)
-        return nn.relu(out + identity)
+        return fused_relu(out + identity)
 
 
 class _ResNet(nn.Module):
@@ -143,9 +144,9 @@ class _ResNet(nn.Module):
     def __call__(self, x, train: bool = False):
         x = torch_conv(64, 7, stride=2, padding=3, use_bias=False,
                        dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
-        x = nn.relu(x)
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        x = fused_relu(x)
         x = max_pool_torch(x, 3, 2, padding=1)
         widths = (64, 128, 256, 512)
         expansion = 4 if self.block is _Bottleneck else 1
@@ -189,9 +190,9 @@ class _BasicConv2d(nn.Module):
         x = torch_conv(self.features, self.kernel_size, stride=self.stride,
                        padding=self.padding, use_bias=False, dtype=self.dtype,
                        name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-3, dtype=self.dtype, name="bn")(x)
-        return nn.relu(x)
+        x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+        return fused_relu(x)
 
 
 class _InceptionA(nn.Module):
@@ -294,21 +295,21 @@ class AlexNetBackbone(nn.Module):
         del train
         x = torch_conv(64, 11, stride=4, padding=2, dtype=self.dtype,
                        name="features_0")(x)
-        x = nn.relu(x)
+        x = fused_relu(x)
         x = max_pool_torch(x, 3, 2)
         x = torch_conv(192, 5, padding=2, dtype=self.dtype,
                        name="features_3")(x)
-        x = nn.relu(x)
+        x = fused_relu(x)
         x = max_pool_torch(x, 3, 2)
         x = torch_conv(384, 3, padding=1, dtype=self.dtype,
                        name="features_6")(x)
-        x = nn.relu(x)
+        x = fused_relu(x)
         x = torch_conv(256, 3, padding=1, dtype=self.dtype,
                        name="features_8")(x)
-        x = nn.relu(x)
+        x = fused_relu(x)
         x = torch_conv(256, 3, padding=1, dtype=self.dtype,
                        name="features_10")(x)
-        x = nn.relu(x)
+        x = fused_relu(x)
         x = max_pool_torch(x, 3, 2)
         return [x]
 

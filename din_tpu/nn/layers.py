@@ -19,6 +19,33 @@ kaiming_normal_init = nn.initializers.variance_scaling(
     2.0, "fan_in", "normal")
 
 
+@jax.custom_vjp
+def fused_relu(x):
+    """ReLU whose VJP masks with the POST-activation (y > 0 instead of
+    x > 0 — identical gradients, since y > 0 <=> x > 0 for ReLU).
+
+    Why: the standard VJP keeps the *pre*-activation alive for the backward
+    mask, so under rematerialisation the conv output has two consumers and
+    XLA emits the ReLU as a separate full-tensor HBM pass (~90 ms/step on
+    the VGG trunk at 720x1280).  Saving the post-activation instead leaves
+    the conv output with a single consumer, letting XLA fuse max(0, .) into
+    the convolution's output epilogue.
+    """
+    return jnp.maximum(x, 0)
+
+
+def _fused_relu_fwd(x):
+    y = jnp.maximum(x, 0)
+    return y, y
+
+
+def _fused_relu_bwd(y, g):
+    return (g * (y > 0).astype(g.dtype),)
+
+
+fused_relu.defvjp(_fused_relu_fwd, _fused_relu_bwd)
+
+
 class KaimingLinear(nn.Module):
     """nn.Linear with the reference's kaiming-normal init, zero bias."""
 
@@ -97,6 +124,56 @@ def avg_pool_torch(x, kernel_size: int, stride: int, padding: int = 0):
     return nn.avg_pool(x, (kernel_size, kernel_size),
                        strides=(stride, stride), padding=pads,
                        count_include_pad=True)
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with exact torch ``_BatchNorm`` train semantics.
+
+    Differences from ``flax.linen.BatchNorm`` that matter for parity with the
+    reference's torchvision backbones (backbone/backbone.py:14-167):
+
+      * the running-variance update uses the **unbiased** batch variance
+        (torch multiplies by n/(n-1)) while normalisation uses the biased
+        one;
+      * statistics and normalisation are computed in float32 regardless of
+        the (bf16) compute dtype, matching torch's fp32 buffers.
+
+    Parameter/stat tree layout is identical to flax BatchNorm
+    (params: scale/bias, batch_stats: mean/var) so checkpoints and the torch
+    weight port are unaffected.  torch momentum 0.1 == ``momentum=0.9`` here.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(C, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(C, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = x.size // C
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+        mul = scale * jax.lax.rsqrt(var + self.epsilon)
+        y = x.astype(jnp.float32) * mul + (bias - mean * mul)
+        return y.astype(self.dtype or x.dtype)
 
 
 class TorchLayerNorm(nn.Module):

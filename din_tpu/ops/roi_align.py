@@ -306,18 +306,14 @@ def roi_align(features: jax.Array, boxes: jax.Array,
     B, H, W, C = features.shape
     boxes = jax.lax.stop_gradient(boxes.astype(jnp.float32))
     if impl == "auto":
-        # The fused Pallas kernel wins on TPU when the per-frame feature
-        # block fits VMEM; the interp-matrix einsum covers other devices;
-        # gather covers the big Inception-v3 stage-1 maps (87x157).
-        n = boxes.shape[1]
-        rows = n * crop_size[0] * crop_size[1]
-        vmem_bytes = (H * W * C + rows * C) * features.dtype.itemsize \
-            + rows * H * W * 4
-        if (jax.default_backend() == "tpu" and vmem_bytes <= 8 * 2 ** 20
-                and H * W <= 4096):
-            impl = "pallas"
-        else:
-            impl = "onehot" if H * W <= 8192 else "gather"
+        # Measured on TPU v5e (bench.py roi_align check, 8x12 boxes K=5):
+        # 45x80x512  -> onehot 2.7 ms, gather 2.6 ms, pallas 5.0 ms;
+        # the interp-matrix einsum rides XLA's MXU tiling and beats the
+        # hand kernel, so 'auto' uses it for stage-2 maps and falls back to
+        # gather for the big Inception-v3 stage-1 maps (87x157x1056, whose
+        # per-frame block also exceeds the Pallas kernel's VMEM budget).
+        # 'pallas' stays available/tested as the opt-in fused path.
+        impl = "onehot" if H * W <= 8192 else "gather"
     if impl == "onehot":
         return _roi_align_onehot(features, boxes, crop_size)
     if impl == "gather":

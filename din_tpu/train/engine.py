@@ -173,12 +173,19 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
             cfg.load_backbone_stage2 = False
 
     training_set, validation_set = return_dataset(cfg)
+    # per-host data sharding: disjoint strided shards of the shared
+    # permutation (parallel/multihost.py; single-process = whole dataset)
+    pi, pc = jax.process_index(), jax.process_count()
     train_loader = BatchLoader(training_set, cfg.batch_size, shuffle=True,
                                num_workers=cfg.num_workers,
-                               seed=cfg.train_random_seed)
+                               seed=cfg.train_random_seed,
+                               process_index=pi, process_count=pc)
+    # remainder eval batches are padded (cycled) + masked so every eval
+    # step shares one compiled program (losses honour sample_mask)
     val_loader = BatchLoader(validation_set, cfg.test_batch_size,
                              shuffle=False, num_workers=cfg.num_workers,
-                             drop_last=False)
+                             drop_last=False, pad_last=True,
+                             process_index=pi, process_count=pc)
 
     mesh = make_mesh(cfg)
     _data_sharding = batch_sharding(mesh)
@@ -260,9 +267,11 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
                                         sharding=data_sharding):
             metrics.append(eval_step(state.params, state.batch_stats, batch))
             if mad_meter is not None:
-                nodes = mad_step(state.params, state.batch_stats, batch)
-                mad_meter.cal_MAD(np.asarray(nodes), field=None,
-                                  field_shape="dynamic")
+                nodes = np.asarray(
+                    mad_step(state.params, state.batch_stats, batch))
+                if "sample_mask" in batch:   # drop padded rows
+                    nodes = nodes[np.asarray(batch["sample_mask"]) > 0]
+                mad_meter.cal_MAD(nodes, field=None, field_shape="dynamic")
         info = _epoch_info(metrics, epoch, timer.timeit(),
                            cfg.num_activities)
         if mad_meter is not None:

@@ -64,23 +64,33 @@ def compute_losses(outputs: Dict, batch: Dict, cfg,
     metrics = {}
     loss = 0.0
 
+    # optional per-clip validity (padded remainder eval batches — loader
+    # pad_last); expanded below to whatever label granularity applies
+    sample_mask = batch.get("sample_mask")                  # [B] or None
+    sm_bool = None if sample_mask is None else sample_mask > 0
+
     activities_in = batch["activities"]                     # [B, T]
+    B, T = activities_in.shape
     if frame0_labels:
         act_labels = activities_in[:, 0]
+        act_valid = sm_bool
     else:
         act_labels = activities_in.reshape(-1)
+        act_valid = None if sm_bool is None else \
+            jnp.repeat(sm_bool, T)
     act_scores = outputs["activities"]
     if act_scores.shape[0] != act_labels.shape[0]:
         # volleyball stage-1: scores [B, G] vs per-frame labels — frame 0
         act_labels = activities_in[:, 0]
-    a_loss = cross_entropy(act_scores, act_labels)
+        act_valid = sm_bool
+    a_loss = cross_entropy(act_scores, act_labels, valid_mask=act_valid)
     loss = loss + a_loss
-    c, t = accuracy_counts(act_scores, act_labels)
+    c, t = accuracy_counts(act_scores, act_labels, act_valid)
     metrics["activities_loss"] = a_loss
     metrics["activities_correct"] = c
     metrics["activities_total"] = t
     metrics["activities_conf"] = confusion_matrix(
-        act_scores, act_labels, cfg.num_activities)
+        act_scores, act_labels, cfg.num_activities, act_valid)
 
     if "actions" in outputs:
         actions_in = batch["actions"]                       # [B, T, N]
@@ -89,11 +99,15 @@ def compute_losses(outputs: Dict, batch: Dict, cfg,
         B, T, N = actions_in.shape
         if n_out == B * N:
             labels = actions_in[:, 0].reshape(-1)           # frame-0 labels
+            per_clip = N
         else:                                               # per-frame
             labels = actions_in.reshape(-1)
+            per_clip = T * N
         valid = labels >= 0
         if act_mask is not None:
             valid = valid & act_mask.reshape(-1)
+        if sm_bool is not None:
+            valid = valid & jnp.repeat(sm_bool, per_clip)
         weights = None
         wl = cfg.action_weight_list
         if wl is not None:

@@ -252,3 +252,139 @@ def test_inception_a_block_parity(rng):
     out = np.asarray(out).transpose(0, 3, 1, 2)
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+class _TInceptionB(tnn.Module):
+    """torchvision InceptionB replica (same attribute names)."""
+
+    def __init__(self, in_ch):
+        super().__init__()
+        self.branch3x3 = _TBasicConv2d(in_ch, 384, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = _TBasicConv2d(in_ch, 64, kernel_size=1)
+        self.branch3x3dbl_2 = _TBasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = _TBasicConv2d(96, 96, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        import torch.nn.functional as F
+        b3 = self.branch3x3(x)
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = F.max_pool2d(x, 3, stride=2)
+        return torch.cat([b3, bd, bp], 1)
+
+
+class _TInceptionC(tnn.Module):
+    """torchvision InceptionC replica (same attribute names)."""
+
+    def __init__(self, in_ch, c7):
+        super().__init__()
+        self.branch1x1 = _TBasicConv2d(in_ch, 192, kernel_size=1)
+        self.branch7x7_1 = _TBasicConv2d(in_ch, c7, kernel_size=1)
+        self.branch7x7_2 = _TBasicConv2d(c7, c7, kernel_size=(1, 7),
+                                         padding=(0, 3))
+        self.branch7x7_3 = _TBasicConv2d(c7, 192, kernel_size=(7, 1),
+                                         padding=(3, 0))
+        self.branch7x7dbl_1 = _TBasicConv2d(in_ch, c7, kernel_size=1)
+        self.branch7x7dbl_2 = _TBasicConv2d(c7, c7, kernel_size=(7, 1),
+                                            padding=(3, 0))
+        self.branch7x7dbl_3 = _TBasicConv2d(c7, c7, kernel_size=(1, 7),
+                                            padding=(0, 3))
+        self.branch7x7dbl_4 = _TBasicConv2d(c7, c7, kernel_size=(7, 1),
+                                            padding=(3, 0))
+        self.branch7x7dbl_5 = _TBasicConv2d(c7, 192, kernel_size=(1, 7),
+                                            padding=(0, 3))
+        self.branch_pool = _TBasicConv2d(in_ch, 192, kernel_size=1)
+
+    def forward(self, x):
+        import torch.nn.functional as F
+        b1 = self.branch1x1(x)
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+            self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+        bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))
+        return torch.cat([b1, b7, bd, bp], 1)
+
+
+class _TMyInceptionV3(tnn.Module):
+    """Replica of the reference trunk-to-Mixed_6e
+    (/root/reference/backbone/backbone.py:10-85; torchvision layer names)."""
+
+    def __init__(self):
+        super().__init__()
+        self.Conv2d_1a_3x3 = _TBasicConv2d(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = _TBasicConv2d(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = _TBasicConv2d(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = _TBasicConv2d(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = _TBasicConv2d(80, 192, kernel_size=3)
+        self.Mixed_5b = _TInceptionA(192, 32)
+        self.Mixed_5c = _TInceptionA(256, 64)
+        self.Mixed_5d = _TInceptionA(288, 64)
+        self.Mixed_6a = _TInceptionB(288)
+        self.Mixed_6b = _TInceptionC(768, 128)
+        self.Mixed_6c = _TInceptionC(768, 160)
+        self.Mixed_6d = _TInceptionC(768, 160)
+        self.Mixed_6e = _TInceptionC(768, 192)
+
+    def forward(self, x):
+        import torch.nn.functional as F
+        x = self.Conv2d_1a_3x3(x)
+        x = self.Conv2d_2a_3x3(x)
+        x = self.Conv2d_2b_3x3(x)
+        x = F.max_pool2d(x, 3, stride=2)
+        x = self.Conv2d_3b_1x1(x)
+        x = self.Conv2d_4a_3x3(x)
+        x = F.max_pool2d(x, 3, stride=2)
+        x = self.Mixed_5b(x)
+        x = self.Mixed_5c(x)
+        out5 = self.Mixed_5d(x)
+        x = self.Mixed_6a(out5)
+        x = self.Mixed_6b(x)
+        x = self.Mixed_6c(x)
+        x = self.Mixed_6d(x)
+        x = self.Mixed_6e(x)
+        return [out5, x]
+
+
+def _randomize_bn_stats(tmodel, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    for m in tmodel.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.data = torch.randn(m.running_mean.shape,
+                                              generator=g) * 0.1
+            m.running_var.data = torch.rand(m.running_var.shape,
+                                            generator=g) + 0.5
+
+
+def test_inception_full_trunk_parity(rng):
+    """Full inv3 trunk through the weight port at reference geometry:
+    both scales + the align-corners resize to (87, 157) and 1056-ch concat
+    (/root/reference/backbone/backbone.py:35-85, infer_model.py:161-176)."""
+    from din_tpu.ops.image import resize_bilinear_align_corners
+    tmodel = _TMyInceptionV3()
+    _randomize_bn_stats(tmodel)
+    tmodel.eval()
+    x = rng.randn(1, 3, 720, 1280).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref5, ref6 = [o.numpy() for o in tmodel(torch.from_numpy(x))]
+        cat = torch.cat(
+            [torch.nn.functional.interpolate(torch.from_numpy(o), (87, 157),
+                                             mode="bilinear",
+                                             align_corners=True)
+             for o in (ref5, ref6)], dim=1).numpy()
+
+    bb = InceptionV3Backbone()
+    variables = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)))
+    variables = graft_variables(
+        variables, convert_backbone_state(_to_numpy_state(tmodel), "inv3"))
+    out5, out6 = _run_flax(bb, variables, x)
+    assert out5.shape == ref5.shape and out6.shape == ref6.shape
+    np.testing.assert_allclose(out5, ref5, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(out6, ref6, rtol=1e-3, atol=1e-3)
+
+    with jax.default_matmul_precision("highest"):
+        got_cat = jnp.concatenate(
+            [resize_bilinear_align_corners(
+                jnp.asarray(o.transpose(0, 2, 3, 1)), (87, 157))
+             for o in (out5, out6)], axis=-1)
+    got_cat = np.asarray(got_cat).transpose(0, 3, 1, 2)
+    assert got_cat.shape == cat.shape == (1, 288 + 768, 87, 157)
+    np.testing.assert_allclose(got_cat, cat, rtol=1e-3, atol=1e-3)

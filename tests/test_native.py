@@ -59,3 +59,26 @@ def test_load_frame_fallback(tmp_path, rng):
     Image.fromarray(img).save(p)
     out = native.load_frame(str(p), 20, 20)
     assert out.shape == (20, 20, 3)
+
+
+def test_load_frames_clip_batch(tmp_path, rng):
+    """Clip-level batched file decode == per-frame decode, incl. the PIL
+    fallback when one file is not a JPEG."""
+    paths = []
+    for i in range(4):
+        img = (rng.rand(40, 60, 3) * 255).astype(np.uint8)
+        p = tmp_path / f"{i}.jpg"
+        Image.fromarray(img).save(p, "JPEG", quality=92)
+        paths.append(str(p))
+    batch = native.load_frames(paths, 40, 60)
+    assert batch.shape == (4, 40, 60, 3)
+    for i, p in enumerate(paths):
+        np.testing.assert_array_equal(batch[i], native.load_frame(p, 40, 60))
+
+    # poison one file -> whole-clip PIL fallback still returns the frames
+    img = (rng.rand(40, 60, 3) * 255).astype(np.uint8)
+    png = tmp_path / "4.png"
+    Image.fromarray(img).save(png)
+    mixed = paths + [str(png)]
+    out = native.load_frames(mixed, 20, 30)
+    assert out.shape == (5, 20, 30, 3)
