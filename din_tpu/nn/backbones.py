@@ -27,6 +27,7 @@ from jax.ad_checkpoint import checkpoint_name
 
 from din_tpu.nn.layers import (TorchBatchNorm, avg_pool_torch,
                                fused_relu, max_pool_torch, torch_conv)
+from din_tpu.nn.stem import folded_stem
 
 # Activations cheap enough to keep under rematerialisation (deep layers at
 # reduced spatial resolution).  A remat policy of
@@ -45,17 +46,45 @@ _VGG19_PLAN = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
                512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
 
 
+class _ConvParams(nn.Module):
+    """Declares a conv's kernel/bias with nn.Conv's default init WITHOUT
+    applying it, so folded execution paths (din_tpu/nn/stem.py) can consume
+    the canonical parameters under the canonical checkpoint path."""
+
+    shape: Sequence[int]
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       tuple(self.shape))
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return k, b
+
+
 class _VGG(nn.Module):
     plan: Sequence
     dtype: Any = jnp.float32
+    folded_stem: bool = True   # 1x2-fold the 64-ch stem on even-sized maps
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         del train  # VGG has no BN / dropout in the feature extractor
+        plan = list(self.plan)
         idx = 0
-        for item in self.plan:
+        if (self.folded_stem and x.shape[-1] == 3
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+                and tuple(plan[:3]) == (64, 64, "M")):
+            k0, b0 = _ConvParams((3, 3, 3, 64), name="features_0")()
+            k2, b2 = _ConvParams((3, 3, 64, 64), name="features_2")()
+            x = folded_stem(x, k0, b0, k2, b2, self.dtype)
+            plan, idx = plan[3:], 5
+        for item in plan:
             if item == "M":
                 x = max_pool_torch(x, 2, 2)
+                # pool outputs are the cheapest stage boundaries to save;
+                # <128ch ones would be lane-padded 2x in HBM, skip those
+                if x.shape[-1] >= 128:
+                    x = checkpoint_name(x, SAVEABLE_ACT)
                 idx += 1
             else:
                 x = torch_conv(item, 3, padding=1, dtype=self.dtype,

@@ -1,0 +1,147 @@
+"""Folded VGG stem == canonical stem (values and parameter gradients).
+
+The folded path (din_tpu/nn/stem.py) must be a pure execution-layout change:
+same math, same parameters, same checkpoint paths.  Reference semantics:
+torchvision VGG features[0:5] (reference: backbone/backbone.py:88-112),
+already pinned against torch in tests/test_backbones.py which runs through
+this path by default.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from din_tpu.nn.backbones import VGG16Backbone
+from din_tpu.nn.layers import max_pool_torch
+from din_tpu.nn.stem import fold_kernel, folded_stem, max_pool_2x2
+
+
+def _canonical_stem(x, k0, b0, k2, b2):
+    y = jax.lax.conv_general_dilated(
+        x, k0, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b0
+    y = jnp.maximum(y, 0)
+    y = jax.lax.conv_general_dilated(
+        y, k2, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b2
+    y = jnp.maximum(y, 0)
+    return max_pool_torch(y, 2, 2)
+
+
+@pytest.fixture(scope="module")
+def stem_params():
+    rng = np.random.RandomState(0)
+    k0 = jnp.asarray(rng.randn(3, 3, 3, 64) * 0.1, jnp.float32)
+    b0 = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+    k2 = jnp.asarray(rng.randn(3, 3, 64, 64) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+    x = jnp.asarray(rng.rand(2, 16, 24, 3) * 2 - 1, jnp.float32)
+    return x, k0, b0, k2, b2
+
+
+def test_fold_kernel_identity(stem_params):
+    """The folded conv reproduces the canonical conv exactly."""
+    x, k0, b0, k2, b2 = stem_params
+    F, H, W, C = x.shape
+    xf = x.reshape(F, H, W // 2, 2 * C)
+    yf = jax.lax.conv_general_dilated(
+        xf, fold_kernel(k0), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x, k0, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # folded channel b*64+o at col j == canonical channel o at col 2j+b
+    yf_unfold = yf.reshape(F, H, W // 2, 2, 64).transpose(0, 1, 2, 3, 4)
+    yf_unfold = yf_unfold.reshape(F, H, W, 64)
+    np.testing.assert_allclose(np.asarray(yf_unfold), np.asarray(y),
+                               rtol=0, atol=1e-5)
+
+
+def test_folded_stem_values(stem_params):
+    x, k0, b0, k2, b2 = stem_params
+    got = folded_stem(x, k0, b0, k2, b2, jnp.float32)
+    want = _canonical_stem(x, k0, b0, k2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-5)
+
+
+def test_folded_stem_param_grads(stem_params):
+    x, k0, b0, k2, b2 = stem_params
+
+    def loss_folded(k0, b0, k2, b2):
+        y = folded_stem(x, k0, b0, k2, b2, jnp.float32)
+        return jnp.sum(y * jnp.cos(jnp.arange(y.size).reshape(y.shape)))
+
+    def loss_canon(k0, b0, k2, b2):
+        y = _canonical_stem(x, k0, b0, k2, b2)
+        return jnp.sum(y * jnp.cos(jnp.arange(y.size).reshape(y.shape)))
+
+    gf = jax.grad(loss_folded, argnums=(0, 1, 2, 3))(k0, b0, k2, b2)
+    gc = jax.grad(loss_canon, argnums=(0, 1, 2, 3))(k0, b0, k2, b2)
+    for a, b in zip(gf, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_max_pool_2x2_matches_windowed():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(3, 8, 12, 5), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(max_pool_2x2(x)),
+                                  np.asarray(max_pool_torch(x, 2, 2)))
+
+
+@pytest.mark.parametrize("dtype,atol", [(jnp.float32, 2e-5),
+                                        (jnp.bfloat16, 0.05)])
+def test_vgg16_folded_equals_canonical(dtype, atol):
+    """Full VGG16 forward: folded stem on vs off, same params."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(1, 32, 48, 3) * 2 - 1, dtype)
+    folded = VGG16Backbone(dtype=dtype)
+    canon = VGG16Backbone(dtype=dtype, folded_stem=False)
+    params = canon.init(jax.random.PRNGKey(0), x)
+    # identical param trees (paths + shapes) regardless of the stem mode
+    pf = folded.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(pf)
+            == jax.tree_util.tree_structure(params))
+    yf = folded.apply(params, x)[0].astype(jnp.float32)
+    yc = canon.apply(params, x)[0].astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yc),
+                               rtol=0, atol=atol)
+
+
+def test_folded_skipped_on_odd_maps():
+    """Odd widths fall back to the canonical stem (same params)."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(1, 30, 45, 3), jnp.float32)
+    folded = VGG16Backbone(dtype=jnp.float32)
+    params = folded.init(jax.random.PRNGKey(0), x)
+    canon = VGG16Backbone(dtype=jnp.float32, folded_stem=False)
+    y1 = folded.apply(params, x)[0]
+    y2 = canon.apply(params, x)[0]
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+def test_fold_pool_impls_agree():
+    """Pallas (interpret) == XLA composition == unfolded windowed pool."""
+    from din_tpu.ops.pool import fold_pool_2x2
+
+    rng = np.random.RandomState(4)
+    yf = jnp.asarray(rng.randn(2, 8, 16, 128), jnp.float32)
+
+    def loss(x, impl):
+        return (fold_pool_2x2(x, impl=impl) * jnp.cos(
+            jnp.arange(x.size // 4).reshape(
+                x.shape[0], x.shape[1] // 2, x.shape[2], x.shape[3] // 2)
+        )).sum()
+
+    o_x = fold_pool_2x2(yf, impl="xla")
+    o_p = fold_pool_2x2(yf, impl="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(o_x), np.asarray(o_p))
+    # against the unfolded ground truth
+    unfolded = yf.reshape(2, 8, 32, 64)
+    want = max_pool_torch(unfolded, 2, 2)
+    np.testing.assert_array_equal(np.asarray(o_x), np.asarray(want))
+    g_x = jax.grad(loss)(yf, "xla")
+    g_p = jax.grad(loss)(yf, "pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(g_x), np.asarray(g_p))
