@@ -63,7 +63,8 @@ def _backbone_body_flops(cfg, chunk):
     from din_tpu.nn.backbones import build_backbone
 
     H, W = cfg.image_size
-    bb = build_backbone(cfg.backbone, dtype=jnp.dtype(cfg.compute_dtype))
+    bb = build_backbone(cfg.backbone, dtype=jnp.dtype(cfg.compute_dtype),
+                        folded_stem=getattr(cfg, "folded_stem", True))
     frames = jnp.zeros((chunk, H, W, 3), jnp.dtype(cfg.compute_dtype))
     variables = bb.init(jax.random.PRNGKey(0), frames, False)
 

@@ -122,6 +122,7 @@ class Config:
     roi_align_impl: str = "auto"         # auto|onehot|gather|pallas
     frame_chunk: Optional[int] = None    # frames per backbone micro-batch
     remat_policy: str = "full"           # 'full' | 'save_deep' backbone remat
+    folded_stem: bool = True             # 1x2-fold VGG stem (din_tpu/nn/stem.py)
     pretrained_backbone_path: Optional[str] = None  # torch state_dict file (optional)
     result_root: str = "result"
     num_workers: int = 4                 # host decode threads

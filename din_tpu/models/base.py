@@ -42,6 +42,7 @@ class BasenetVolleyball(nn.Module):
             roi_align_impl=cfg.roi_align_impl,
             frame_chunk=cfg.frame_chunk,
             remat_policy=getattr(cfg, "remat_policy", "full"),
+            folded_stem=getattr(cfg, "folded_stem", True),
             name="trunk")(
                 images, boxes, bn_train=train and not cfg.set_bn_eval)
         # stage-1 embedding: fc_emb + ReLU + dropout (base_model.py:119-121)
@@ -78,6 +79,7 @@ class BasenetCollective(nn.Module):
             roi_align_impl=cfg.roi_align_impl,
             frame_chunk=cfg.frame_chunk,
             remat_policy=getattr(cfg, "remat_policy", "full"),
+            folded_stem=getattr(cfg, "folded_stem", True),
             name="trunk")(
                 images, boxes, bn_train=train and not cfg.set_bn_eval)
         feats = EmbedActors(nfb=cfg.num_features_boxes, use_layernorm=False,

@@ -47,6 +47,7 @@ class _BackboneStep(nn.Module):
     bn_train: bool
     remat: bool
     remat_policy: str = "full"   # 'full' | 'save_deep'
+    folded_stem: bool = True     # VGG-only stem fold (din_tpu/nn/stem.py)
 
     @nn.compact
     def __call__(self, carry, packed_chunk):
@@ -54,6 +55,8 @@ class _BackboneStep(nn.Module):
         frames = prep_images(packed_chunk.reshape(chunk, H, W3 // 3, 3),
                              dtype=self.dtype)
         cls = BACKBONES[self.backbone_name]
+        extra = ({"folded_stem": self.folded_stem}
+                 if "folded_stem" in cls.__dataclass_fields__ else {})
         if self.remat:
             # static_argnums indexes (scope, frames, train): the train flag
             # must be static (BatchNorm branches on it).  'save_deep' keeps
@@ -64,7 +67,8 @@ class _BackboneStep(nn.Module):
                 policy = jax.checkpoint_policies.save_only_these_names(
                     SAVEABLE_ACT)
             cls = nn.remat(cls, static_argnums=(2,), policy=policy)
-        outs = cls(dtype=self.dtype, name="backbone")(frames, self.bn_train)
+        outs = cls(dtype=self.dtype, name="backbone",
+                   **extra)(frames, self.bn_train)
         return carry, outs
 
 
@@ -78,6 +82,7 @@ class Trunk(nn.Module):
     remat_backbone: bool = True
     remat_policy: str = "full"          # 'full' | 'save_deep'
     frame_chunk: Optional[int] = None   # None = auto
+    folded_stem: bool = True            # VGG stem fold A/B knob
 
     def _auto_chunk(self, n_frames: int, H: int, W: int) -> int:
         """Frames per backbone micro-batch.  At 720x1280 a single frame's
@@ -125,6 +130,7 @@ class Trunk(nn.Module):
                            dtype=self.compute_dtype,
                            remat=self.remat_backbone and self.train_backbone,
                            remat_policy=self.remat_policy,
+                           folded_stem=self.folded_stem,
                            name="frames_scan")
         if num_chunks == 1:
             step_mod = _BackboneStep(bn_train=bn_train, **step_kwargs)

@@ -357,8 +357,13 @@ BACKBONES = {
 }
 
 
-def build_backbone(name: str, dtype=jnp.float32) -> nn.Module:
+def build_backbone(name: str, dtype=jnp.float32, **kwargs) -> nn.Module:
+    """kwargs: backbone-specific knobs (e.g. ``folded_stem`` for VGG);
+    unknown knobs are ignored so callers can pass cfg-level defaults."""
     if name not in BACKBONES:
         raise ValueError(f"unknown backbone '{name}' "
                          f"(choose from {sorted(BACKBONES)})")
-    return BACKBONES[name](dtype=dtype)
+    cls = BACKBONES[name]
+    kwargs = {k: v for k, v in kwargs.items()
+              if k in cls.__dataclass_fields__}
+    return cls(dtype=dtype, **kwargs)

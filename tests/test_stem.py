@@ -122,6 +122,45 @@ def test_folded_skipped_on_odd_maps():
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
 
 
+def test_cfg_folded_stem_knob_reaches_backbone():
+    """cfg.folded_stem plumbs Config -> model -> Trunk -> _BackboneStep ->
+    _VGG: same outputs either way, and the folded program is structurally
+    different (its stem convs run on W/2 x 128-lane tensors)."""
+    from din_tpu.config import Config
+    from din_tpu.models.registry import build_model
+
+    base = Config(dataset_name="volleyball", training_stage=2,
+                  inference_module_name="dynamic_volleyball",
+                  backbone="vgg16", image_size=(16, 24), out_size=(4, 6),
+                  crop_size=(2, 2), num_boxes=3, num_frames=2, batch_size=1,
+                  num_features_boxes=16, num_features_relation=8,
+                  num_features_gcn=16, lite_dim=8,
+                  train_backbone=False)
+    rng = np.random.RandomState(5)
+    images = (rng.rand(1, 2, 16, 24, 3) * 255).astype(np.uint8)
+    boxes = np.zeros((1, 2, 3, 4), np.float32)
+    boxes[..., 2:] = [5.0, 3.0]
+    outs = {}
+    for folded in (True, False):
+        cfg = base.replace(folded_stem=folded)
+        model = build_model(cfg)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(images),
+                               jnp.asarray(boxes))
+        y = model.apply(variables, jnp.asarray(images), jnp.asarray(boxes))
+        outs[folded] = jax.tree_util.tree_map(np.asarray, y)
+        if folded:
+            jaxpr = str(jax.make_jaxpr(
+                lambda v, im, bx: model.apply(v, im, bx))(
+                    variables, jnp.asarray(images), jnp.asarray(boxes)))
+            # folded conv signature: 6-channel input (2x3 phase-fold)
+            assert "3,3,6,128" in jaxpr.replace(" ", ""), \
+                "folded stem not present in the traced program"
+    for a, b in zip(jax.tree_util.tree_leaves(outs[True]),
+                    jax.tree_util.tree_leaves(outs[False])):
+        np.testing.assert_allclose(a.astype(np.float32),
+                                   b.astype(np.float32), rtol=0, atol=0.1)
+
+
 def test_fold_pool_impls_agree():
     """Pallas (interpret) == XLA composition == unfolded windowed pool."""
     from din_tpu.ops.pool import fold_pool_2x2
