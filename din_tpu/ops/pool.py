@@ -7,9 +7,11 @@ Input is the phase-major folded layout produced by the folded VGG stem
     out[f, i, j, o] = max over (h in {2i, 2i+1}, b in {0, 1})
 
 i.e. a row-pair max (sublanes) and a col-phase pair max (lane halves) —
-pure elementwise work.  XLA composes it from a windowed reduce + lane
-slice at ~14.5 ms per 8-frame 720x1280 chunk on v5e; the fused Pallas
-kernel does one read + one write (7.8 ms fwd+bwd measured, bit-exact).
+pure elementwise work: one read + one write, HBM-bound.  Blocks cover many
+row pairs per grid step (VMEM-budgeted): ~4.7 ms fwd+bwd per 8-frame
+720x1280 chunk on v5e vs ~25 ms with a one-row-pair grid (H/2 steps/frame
+— grid/DMA overhead dominates tiny elementwise blocks) and ~27 ms for the
+XLA fallback composition.
 
 The custom VJP routes gradient ties to the first argmax in the window
 (row-major), matching torch MaxPool2d / XLA SelectAndScatter semantics
@@ -25,50 +27,67 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 _LANE = 128
+_VMEM_LIMIT = 11 * 2 ** 20       # 16M scoped vmem minus pipeline headroom
+
+
+def _rows_per_block(half_h: int, w2: int, c: int, itemsize: int,
+                    bwd: bool = False) -> int:
+    """Output row-pairs per grid step, snapped to a divisor of H//2.
+
+    Budgeted against Mosaic's scoped-vmem STACK, not just the block DMAs:
+    the kernels compute in f32 (packed-bf16 compares are rejected by this
+    Mosaic build), so temporaries cost ~3 (fwd) / ~10 (bwd) f32 rows per
+    output row (bwd measured 3.07 MB/row at W2=640 C=128 on v5e)."""
+    per_row = (10 if bwd else 3) * w2 * c * 4
+    r = max(1, min(half_h, _VMEM_LIMIT // max(per_row, 1)))
+    while half_h % r:
+        r -= 1
+    return r
 
 
 def _fwd_kernel(x_ref, o_ref, *, c):
     # f32 in-register: Mosaic (this build) rejects packed-bf16 compares
-    r0 = x_ref[0, 0].astype(jnp.float32)
-    r1 = x_ref[0, 1].astype(jnp.float32)
-    cm0 = jnp.maximum(r0[:, :c], r0[:, c:])
-    cm1 = jnp.maximum(r1[:, :c], r1[:, c:])
-    o_ref[0, 0] = jnp.maximum(cm0, cm1).astype(o_ref.dtype)
+    x = x_ref[0].astype(jnp.float32)          # [R, 2, W2, C]
+    r0, r1 = x[:, 0], x[:, 1]
+    cm0 = jnp.maximum(r0[..., :c], r0[..., c:])
+    cm1 = jnp.maximum(r1[..., :c], r1[..., c:])
+    o_ref[0] = jnp.maximum(cm0, cm1).astype(o_ref.dtype)
 
 
 def _bwd_kernel(x_ref, g_ref, dx_ref, *, c):
-    r0 = x_ref[0, 0].astype(jnp.float32)
-    r1 = x_ref[0, 1].astype(jnp.float32)
-    g = g_ref[0, 0].astype(jnp.float32)
-    a0, b0 = r0[:, :c], r0[:, c:]
-    a1, b1 = r1[:, :c], r1[:, c:]
+    x = x_ref[0].astype(jnp.float32)          # [R, 2, W2, C]
+    g = g_ref[0].astype(jnp.float32)          # [R, W2, c]
+    a0, b0 = x[:, 0, :, :c], x[:, 0, :, c:]
+    a1, b1 = x[:, 1, :, :c], x[:, 1, :, c:]
     m0 = a0 >= b0                       # col-phase winner, row 0
     m1 = a1 >= b1                       # col-phase winner, row 1
-    cm0 = jnp.maximum(a0, b0)
-    cm1 = jnp.maximum(a1, b1)
-    mrow = cm0 >= cm1                   # row winner (ties -> first row)
+    mrow = jnp.maximum(a0, b0) >= jnp.maximum(a1, b1)  # ties -> first row
     zero = jnp.zeros_like(g)
     g_r0 = jnp.where(mrow, g, zero)
     g_r1 = jnp.where(mrow, zero, g)
-    dx_ref[0, 0] = jnp.concatenate(
+    # per-phase stores (no stacked temporary — keeps the vmem stack small)
+    dx_ref[0, :, 0] = jnp.concatenate(
         [jnp.where(m0, g_r0, 0), jnp.where(m0, 0, g_r0)],
         axis=-1).astype(dx_ref.dtype)
-    dx_ref[0, 1] = jnp.concatenate(
+    dx_ref[0, :, 1] = jnp.concatenate(
         [jnp.where(m1, g_r1, 0), jnp.where(m1, 0, g_r1)],
         axis=-1).astype(dx_ref.dtype)
 
 
 def _pallas_fwd_call(x, interpret):
     F, H, W2, C = x.shape
+    c = C // 2
+    R = _rows_per_block(H // 2, W2, C, x.dtype.itemsize)
+    x5 = x.reshape(F, H // 2, 2, W2, C)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, c=C // 2),
-        grid=(F, H // 2),
-        in_specs=[pl.BlockSpec((1, 2, W2, C), lambda f, r: (f, r, 0, 0))],
-        out_specs=pl.BlockSpec((1, 1, W2, C // 2),
-                               lambda f, r: (f, r, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((F, H // 2, W2, C // 2), x.dtype),
+        functools.partial(_fwd_kernel, c=c),
+        grid=(F, (H // 2) // R),
+        in_specs=[pl.BlockSpec((1, R, 2, W2, C),
+                               lambda f, r: (f, r, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, R, W2, c), lambda f, r: (f, r, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((F, H // 2, W2, c), x.dtype),
         interpret=interpret,
-    )(x)
+    )(x5)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -82,17 +101,21 @@ def _fp_fwd(x, interpret):
 
 def _fp_bwd(interpret, x, g):
     F, H, W2, C = x.shape
+    c = C // 2
+    R = _rows_per_block(H // 2, W2, C, x.dtype.itemsize, bwd=True)
+    x5 = x.reshape(F, H // 2, 2, W2, C)
     dx = pl.pallas_call(
-        functools.partial(_bwd_kernel, c=C // 2),
-        grid=(F, H // 2),
-        in_specs=[pl.BlockSpec((1, 2, W2, C), lambda f, r: (f, r, 0, 0)),
-                  pl.BlockSpec((1, 1, W2, C // 2),
-                               lambda f, r: (f, r, 0, 0))],
-        out_specs=pl.BlockSpec((1, 2, W2, C), lambda f, r: (f, r, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct(x.shape, g.dtype),
+        functools.partial(_bwd_kernel, c=c),
+        grid=(F, (H // 2) // R),
+        in_specs=[pl.BlockSpec((1, R, 2, W2, C),
+                               lambda f, r: (f, r, 0, 0, 0)),
+                  pl.BlockSpec((1, R, W2, c), lambda f, r: (f, r, 0, 0))],
+        out_specs=pl.BlockSpec((1, R, 2, W2, C),
+                               lambda f, r: (f, r, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(x5.shape, g.dtype),
         interpret=interpret,
-    )(x, g)
-    return (dx,)
+    )(x5, g)
+    return (dx.reshape(x.shape),)
 
 
 _fold_pool_pallas.defvjp(_fp_fwd, _fp_bwd)
@@ -118,12 +141,13 @@ _paired_max.defvjp(_paired_max_fwd, _paired_max_bwd)
 
 
 def _fold_pool_xla(x):
-    import flax.linen as nn
     c = x.shape[-1] // 2
-    # rows first (full-lane windowed reduce), then the lane-half pair max
-    # on the halved data — measured fastest XLA composition on v5e.
-    x = nn.max_pool(x, (2, 1), strides=(2, 1))
-    return _paired_max(x[..., :c], x[..., c:])
+    # phase pair FIRST (within-row window order), then the row pair with
+    # first-row-wins — reproduces torch's row-major first-argmax exactly
+    # even on cross-phase ties (a rows-first composition routes the tie
+    # between (row1, col0) and (row0, col1) to the wrong input).
+    cm = _paired_max(x[..., :c], x[..., c:])
+    return _paired_max(cm[:, 0::2], cm[:, 1::2])
 
 
 def fold_pool_2x2(x: jax.Array, impl: str = "auto") -> jax.Array:

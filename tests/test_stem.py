@@ -161,6 +161,37 @@ def test_cfg_folded_stem_knob_reaches_backbone():
                                    b.astype(np.float32), rtol=0, atol=0.1)
 
 
+def test_fold_pool_tie_routing_matches_torch():
+    """Exact ties across rows AND phases: gradients must route to the
+    row-major FIRST argmax of the unfolded 2x2 window (torch MaxPool2d),
+    in both the Pallas kernel and the XLA fallback."""
+    import torch
+
+    from din_tpu.ops.pool import fold_pool_2x2
+
+    rng = np.random.RandomState(7)
+    # small integers -> plenty of exact ties, exactly representable
+    unfolded = rng.randint(0, 3, (2, 4, 8, 3)).astype(np.float32)
+    F, H, W, C = unfolded.shape
+    # folded layout is phase-major in channels: chan b*C+o == col 2j+b
+    folded = jnp.asarray(
+        unfolded.reshape(F, H, W // 2, 2, C).reshape(F, H, W // 2, 2 * C))
+    cot = rng.randn(F, H // 2, W // 2, C).astype(np.float32)
+
+    tin = torch.tensor(unfolded.transpose(0, 3, 1, 2), requires_grad=True)
+    tout = torch.nn.functional.max_pool2d(tin, 2, 2)
+    tout.backward(torch.tensor(cot.transpose(0, 3, 1, 2)))
+    want = tin.grad.numpy().transpose(0, 2, 3, 1)
+
+    for impl in ("pallas_interpret", "xla"):
+        def loss(x):
+            return (fold_pool_2x2(x, impl=impl) * cot).sum()
+        g = np.asarray(jax.grad(loss)(folded))
+        # unfold the gradient back: chan b*C+o at col j -> col 2j+b
+        g_unf = g.reshape(F, H, W // 2, 2, C).reshape(F, H, W, C)
+        np.testing.assert_array_equal(g_unf, want, err_msg=impl)
+
+
 def test_fold_pool_impls_agree():
     """Pallas (interpret) == XLA composition == unfolded windowed pool."""
     from din_tpu.ops.pool import fold_pool_2x2
