@@ -56,15 +56,19 @@ def _backbone_body_flops(cfg, chunk):
     """HLO flops of ONE rematted backbone micro-batch fwd+bwd (the scan
     body).  XLA cost analysis counts a while body ONCE regardless of trip
     count, so the step-level number must be corrected by
-    (num_chunks - 1) x body."""
+    (num_chunks - 1) x body.  Mirrors cfg.remat_policy: 'early' remats
+    inside the backbone (VGG), everything else wraps the whole body."""
     import jax
     import jax.numpy as jnp
 
     from din_tpu.nn.backbones import build_backbone
 
     H, W = cfg.image_size
+    policy = getattr(cfg, "remat_policy", "full")
     bb = build_backbone(cfg.backbone, dtype=jnp.dtype(cfg.compute_dtype),
-                        folded_stem=getattr(cfg, "folded_stem", True))
+                        folded_stem=getattr(cfg, "folded_stem", True),
+                        remat_early=policy == "early")
+    early = policy == "early" and getattr(bb, "remat_early", False)
     frames = jnp.zeros((chunk, H, W, 3), jnp.dtype(cfg.compute_dtype))
     variables = bb.init(jax.random.PRNGKey(0), frames, False)
 
@@ -75,19 +79,18 @@ def _backbone_body_flops(cfg, chunk):
                                **({"batch_stats": variables["batch_stats"]}
                                   if "batch_stats" in variables else {})},
                               xx, False))
-        return jax.checkpoint(apply)(params, x)
+        return apply(params, x) if early else jax.checkpoint(apply)(params, x)
 
     g = jax.jit(jax.grad(loss, argnums=0))
     return _compiled_flops(g, variables["params"], frames)
 
 
-def _bench_train_step(cfg, warmup=3, iters=10):
-    """Build + time the full train step for cfg; returns (dt, flops)."""
+def _build_step(cfg):
+    """Build the full train step for cfg; returns (step, state, batch)."""
     import jax
 
     from __graft_entry__ import _make_batch
     from din_tpu.models.registry import build_model
-    from din_tpu.models.trunk import Trunk
     from din_tpu.train.engine import TrainState, init_model, make_train_step
     from din_tpu.train.optim import make_optimizer
 
@@ -103,7 +106,13 @@ def _bench_train_step(cfg, warmup=3, iters=10):
                            frame0_labels=cfg.training_stage == 2,
                            has_bn=bool(variables.get("batch_stats")),
                            donate=False)
-    dbatch = jax.device_put(batch)
+    return step, state, batch
+
+
+def _step_flops(cfg, step, state, dbatch):
+    """Corrected compiled-HLO flops of the step (scan body x trip count)."""
+    from din_tpu.models.trunk import Trunk
+
     flops = _compiled_flops(step, state, dbatch)
     n_frames = cfg.batch_size * cfg.num_frames
     chunk = Trunk(backbone=cfg.backbone, out_size=tuple(cfg.out_size),
@@ -114,6 +123,16 @@ def _bench_train_step(cfg, warmup=3, iters=10):
     num_chunks = n_frames // chunk
     if num_chunks > 1 and cfg.train_backbone:
         flops += (num_chunks - 1) * _backbone_body_flops(cfg, chunk)
+    return flops
+
+
+def _bench_train_step(cfg, warmup=3, iters=10):
+    """Build + time the full train step for cfg; returns (dt, flops)."""
+    import jax
+
+    step, state, batch = _build_step(cfg)
+    dbatch = jax.device_put(batch)
+    flops = _step_flops(cfg, step, state, dbatch)
 
     state, metrics = step(state, dbatch)
     # NOTE: device->host transfer (float()) is the sync point; the remote
@@ -132,6 +151,8 @@ def _bench_train_step(cfg, warmup=3, iters=10):
 
 
 def _flagship():
+    import jax
+
     from __graft_entry__ import _flagship_cfg
 
     # throughput config: batch 4 clips (40 frames), 8-frame backbone
@@ -141,12 +162,24 @@ def _flagship():
     clips = cfg.batch_size / dt
     mfu = flops / dt / V5E_BF16_PEAK
     _log({"metric": "flagship_loss", "value": loss})
+    # useful-MFU: the folded stem executes 2x structural-zero stem flops, so
+    # the executed-HLO MFU overstates useful work.  Count the CANONICAL
+    # program's flops (AOT compile only, never run) against the same dt.
+    mfu_useful = float("nan")
+    try:
+        ccfg = cfg.replace(folded_stem=False)
+        cstep, cstate, cbatch = _build_step(ccfg)
+        cflops = _step_flops(ccfg, cstep, cstate, jax.device_put(cbatch))
+        mfu_useful = cflops / dt / V5E_BF16_PEAK
+    except Exception as e:
+        _log({"metric": "mfu_useful_error", "error": str(e)[:200]})
     return cfg, clips, {
         "metric": "train_clips_per_sec_din_vgg16_t10_bs%d" % cfg.batch_size,
         "value": round(clips, 3),
         "unit": "clips/sec/chip",
         "vs_baseline": round(clips / TITAN_RTX_CLIPS_PER_SEC_EST, 3),
         "mfu": round(mfu, 4),
+        "mfu_useful": round(mfu_useful, 4),
         "step_ms": round(dt * 1e3, 1),
         "hlo_tflop": round(flops / 1e12, 3),
     }

@@ -121,7 +121,8 @@ class Config:
     prefetch_depth: int = 2              # host->device pipeline depth
     roi_align_impl: str = "auto"         # auto|onehot|gather|pallas
     frame_chunk: Optional[int] = None    # frames per backbone micro-batch
-    remat_policy: str = "full"           # 'full' | 'save_deep' backbone remat
+    remat_policy: str = "early"          # 'early' (two-segment, VGG) | 'full' | 'save_deep'
+    remat_backbone: bool = True          # remat the scan body (False = let XLA decide)
     folded_stem: bool = True             # 1x2-fold VGG stem (din_tpu/nn/stem.py)
     pretrained_backbone_path: Optional[str] = None  # torch state_dict file (optional)
     result_root: str = "result"

@@ -42,6 +42,7 @@ class BasenetVolleyball(nn.Module):
             roi_align_impl=cfg.roi_align_impl,
             frame_chunk=cfg.frame_chunk,
             remat_policy=getattr(cfg, "remat_policy", "full"),
+            remat_backbone=getattr(cfg, "remat_backbone", True),
             folded_stem=getattr(cfg, "folded_stem", True),
             name="trunk")(
                 images, boxes, bn_train=train and not cfg.set_bn_eval)
@@ -79,6 +80,7 @@ class BasenetCollective(nn.Module):
             roi_align_impl=cfg.roi_align_impl,
             frame_chunk=cfg.frame_chunk,
             remat_policy=getattr(cfg, "remat_policy", "full"),
+            remat_backbone=getattr(cfg, "remat_backbone", True),
             folded_stem=getattr(cfg, "folded_stem", True),
             name="trunk")(
                 images, boxes, bn_train=train and not cfg.set_bn_eval)

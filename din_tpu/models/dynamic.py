@@ -33,6 +33,7 @@ def _make_trunk(cfg, name="trunk"):
                  roi_align_impl=cfg.roi_align_impl,
                  frame_chunk=cfg.frame_chunk,
                  remat_policy=getattr(cfg, "remat_policy", "full"),
+                 remat_backbone=getattr(cfg, "remat_backbone", True),
                  folded_stem=getattr(cfg, "folded_stem", True),
                  name=name)
 

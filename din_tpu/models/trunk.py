@@ -46,7 +46,7 @@ class _BackboneStep(nn.Module):
     dtype: Any
     bn_train: bool
     remat: bool
-    remat_policy: str = "full"   # 'full' | 'save_deep'
+    remat_policy: str = "full"   # 'full' | 'save_deep' | 'early'
     folded_stem: bool = True     # VGG-only stem fold (din_tpu/nn/stem.py)
 
     @nn.compact
@@ -57,7 +57,15 @@ class _BackboneStep(nn.Module):
         cls = BACKBONES[self.backbone_name]
         extra = ({"folded_stem": self.folded_stem}
                  if "folded_stem" in cls.__dataclass_fields__ else {})
-        if self.remat:
+        # 'early': the backbone remats ONLY its early stages internally
+        # (two-segment body: recompute the activation-heavy cheap stages,
+        # store the deep wgrad inputs) — supported by VGG; other backbones
+        # fall back to whole-body remat.
+        use_early = (self.remat and self.remat_policy == "early"
+                     and "remat_early" in cls.__dataclass_fields__)
+        if use_early:
+            extra["remat_early"] = True
+        if self.remat and not use_early:
             # static_argnums indexes (scope, frames, train): the train flag
             # must be static (BatchNorm branches on it).  'save_deep' keeps
             # the cheap deep-layer activations and recomputes only the

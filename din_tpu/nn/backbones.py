@@ -65,19 +65,9 @@ class _VGG(nn.Module):
     plan: Sequence
     dtype: Any = jnp.float32
     folded_stem: bool = True   # 1x2-fold the 64-ch stem on even-sized maps
+    remat_early: bool = False  # remat ONLY conv1-conv2 (two-segment body)
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        del train  # VGG has no BN / dropout in the feature extractor
-        plan = list(self.plan)
-        idx = 0
-        if (self.folded_stem and x.shape[-1] == 3
-                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
-                and tuple(plan[:3]) == (64, 64, "M")):
-            k0, b0 = _ConvParams((3, 3, 3, 64), name="features_0")()
-            k2, b2 = _ConvParams((3, 3, 64, 64), name="features_2")()
-            x = folded_stem(x, k0, b0, k2, b2, self.dtype)
-            plan, idx = plan[3:], 5
+    def _run_plan(self, x, plan, idx):
         for item in plan:
             if item == "M":
                 x = max_pool_torch(x, 2, 2)
@@ -93,6 +83,40 @@ class _VGG(nn.Module):
                 if item >= 256:      # quarter resolution and below
                     x = checkpoint_name(x, SAVEABLE_ACT)
                 idx += 2
+        return x
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train  # VGG has no BN / dropout in the feature extractor
+        plan = list(self.plan)
+        fold = (self.folded_stem and x.shape[-1] == 3
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+                and tuple(plan[:3]) == (64, 64, "M"))
+
+        def early(mdl, x):
+            p, i = plan[:cut], 0
+            if fold:
+                k0, b0 = _ConvParams((3, 3, 3, 64), name="features_0")()
+                k2, b2 = _ConvParams((3, 3, 64, 64), name="features_2")()
+                x = folded_stem(x, k0, b0, k2, b2, mdl.dtype)
+                p, i = p[3:], 5
+            return mdl._run_plan(x, p, i)
+
+        if self.remat_early:
+            # Two-segment rematerialisation: conv1-conv2 hold ~60% of the
+            # activation bytes but only ~30% of the flops — recompute them,
+            # store the deep (conv3+) activations.  Every deep conv's wgrad
+            # input is then saved, so the backward runs zero deep recompute
+            # (a save-names policy over a whole-backbone remat can't express
+            # this: wgrads consume the UNSAVED inputs of each conv, so the
+            # chain is recomputed regardless of what checkpoint_name marks).
+            cut = [i for i, it in enumerate(plan) if it == "M"][1] + 1
+            x = nn.remat(early)(self, x)
+            idx = sum(1 if it == "M" else 2 for it in plan[:cut])
+            x = self._run_plan(x, plan[cut:], idx)
+        else:
+            cut = len(plan)
+            x = early(self, x)
         return [x]
 
 
