@@ -192,6 +192,28 @@ def test_fold_pool_tie_routing_matches_torch():
         np.testing.assert_array_equal(g_unf, want, err_msg=impl)
 
 
+@pytest.mark.parametrize("F,H,W,R", [(2, 16, 48, 4), (1, 24, 16, 2),
+                                     (3, 18, 96, 3)])
+def test_fused_stem_kernel_matches_unfused(F, H, W, R):
+    """The fully-fused Pallas stem (din_tpu/ops/stem_kernel.py, interpret
+    mode) == the unfused folded stem, including the frame-border zero
+    padding of conv1_2's input and the indicator-channel bias."""
+    from din_tpu.ops.stem_kernel import fused_stem_fwd
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.rand(F, H, W, 3) * 2 - 1, jnp.float32)
+    k0 = jnp.asarray(rng.randn(3, 3, 3, 64) * 0.1, jnp.float32)
+    b0 = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+    k2 = jnp.asarray(rng.randn(3, 3, 64, 64) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+    want = folded_stem(x, k0, b0, k2, b2, jnp.float32)
+    got = fused_stem_fwd(x.reshape(F, H, W // 2, 6), fold_kernel(k0),
+                         jnp.tile(b0, 2), fold_kernel(k2), jnp.tile(b2, 2),
+                         rows_per_tile=R, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-5)
+
+
 def test_fold_pool_impls_agree():
     """Pallas (interpret) == XLA composition == unfolded windowed pool."""
     from din_tpu.ops.pool import fold_pool_2x2
