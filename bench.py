@@ -310,6 +310,10 @@ def _secondary_recipes():
         "train_clips_per_sec_higcin_bs4":
             lambda: PRESETS["volleyball_stage2_higcin"]().replace(
                 batch_size=4, frame_chunk=8),
+        # Collective stage-2 DIN (res18, 480x720, masked MAX_N=13)
+        "train_clips_per_sec_collective_dynamic_bs4":
+            lambda: PRESETS["collective_stage2_dynamic"]().replace(
+                batch_size=4, frame_chunk=8),
     }
     for name, make_cfg in recipes.items():
         try:

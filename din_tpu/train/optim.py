@@ -57,7 +57,13 @@ def lr_for_epoch(cfg, epoch: int) -> float:
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Update the injected hyperparameter inside the masked wrapper."""
-    inner = opt_state.inner_state
-    inner.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-    return opt_state
+    """Return a NEW opt_state with the injected learning_rate replaced.
+
+    Functional rebuild (optax states are namedtuples): mutating
+    ``hyperparams`` in place happens to work with current optax internals
+    but breaks under donation/jit caching assumptions."""
+    inner = opt_state.inner_state          # InjectHyperparamsState
+    hyperparams = dict(inner.hyperparams)
+    hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state._replace(
+        inner_state=inner._replace(hyperparams=hyperparams))

@@ -48,6 +48,28 @@ def test_lr_plan():
     assert lr_for_epoch(cfg, 30) == 1e-5
 
 
+def test_set_learning_rate_is_functional():
+    """set_learning_rate returns a NEW state and leaves the old one
+    untouched (a previous version mutated optax internals in place)."""
+    import jax.numpy as jnp
+
+    from din_tpu.train.optim import make_optimizer, set_learning_rate
+
+    cfg = Config("volleyball").replace(train_learning_rate=1e-4)
+    params = {"trunk": {"w": jnp.ones((4, 4))}, "head": {"w": jnp.ones(3)}}
+    tx = make_optimizer(cfg, params)
+    st = tx.init(params)
+    st2 = set_learning_rate(st, 5e-5)
+    assert np.isclose(float(st.inner_state.hyperparams["learning_rate"]),
+                      1e-4)
+    assert np.isclose(float(st2.inner_state.hyperparams["learning_rate"]),
+                      5e-5)
+    # the new state drives updates at the new lr
+    upd, _ = tx.update(params, st2, params)
+    assert np.isclose(float(jnp.abs(upd["head"]["w"]).max()), 5e-5,
+                      rtol=1e-2)
+
+
 def _smoke_cfg(tmp_path, **kw):
     cfg = PRESETS["synthetic_smoke"]()
     kw.setdefault("max_epoch", 1)
