@@ -68,6 +68,46 @@ def test_data_parallel_matches_single_device():
                                    rtol=2e-3, atol=5e-4)
 
 
+def test_tensor_parallel_2d_mesh_matches_single_device():
+    """data=4 x model=2 mesh with TP param layouts (output-feature dims of
+    wide kernels sharded over 'model') produces the same update as one
+    device — validates that the model axis changes only placement, with
+    XLA inserting the collectives."""
+    from din_tpu.parallel.mesh import param_sharding
+
+    cfg, model, state, step, batch = _setup()
+    cfg2 = cfg.replace(mesh_shape={"data": 4, "model": 2})
+    mesh = make_mesh(cfg2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+    dev0 = jax.devices()[0]
+    new0, m0 = step(jax.device_put(state, dev0),
+                    jax.device_put(batch, dev0))
+
+    p_shard = param_sharding(mesh, state.params)
+    # at least one kernel must actually shard over 'model'
+    specs = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda s: str(s.spec), p_shard))
+    assert any("model" in sp for sp in specs), specs
+    rep = replicated_sharding(mesh)
+    state_s = TrainState(
+        params=jax.device_put(state.params, p_shard),
+        batch_stats=jax.device_put(state.batch_stats, rep),
+        opt_state=jax.device_put(
+            state.opt_state,
+            jax.tree_util.tree_map(lambda _: rep, state.opt_state,
+                                   is_leaf=lambda x: hasattr(x, "shape"))),
+        rng=jax.device_put(state.rng, rep))
+    new_s, m_s = step(state_s, jax.device_put(batch, batch_sharding(mesh)))
+
+    np.testing.assert_allclose(float(m0["loss"]), float(m_s["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(new0.params),
+                    jax.tree_util.tree_leaves(new_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=5e-4)
+
+
 def test_mesh_shapes():
     mesh = make_mesh(None)
     assert mesh.shape["data"] * mesh.shape["model"] == len(jax.devices())
