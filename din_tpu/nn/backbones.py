@@ -192,6 +192,7 @@ class _ResNet(nn.Module):
     block: Any
     layers: Sequence[int]
     dtype: Any = jnp.float32
+    stop_at: Any = None       # stage name ('stem'|'layer1'..): profiling aid
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -201,6 +202,8 @@ class _ResNet(nn.Module):
                            epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = fused_relu(x)
         x = max_pool_torch(x, 3, 2, padding=1)
+        if self.stop_at == "stem":
+            return [x]
         widths = (64, 128, 256, 512)
         expansion = 4 if self.block is _Bottleneck else 1
         in_ch = 64
@@ -212,6 +215,8 @@ class _ResNet(nn.Module):
                                dtype=self.dtype,
                                name=f"layer{li}_{bi}")(x, train=train)
                 in_ch = w * expansion
+            if self.stop_at == f"layer{li}":
+                return [x]
         return [x]
 
 
@@ -312,6 +317,7 @@ class InceptionV3Backbone(nn.Module):
     two-scale list [Mixed_5d, Mixed_6e] (backbone/backbone.py:35-85)."""
 
     dtype: Any = jnp.float32
+    stop_at: Any = None       # stage name ('stem'|'Mixed_5b'..): profiling
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -324,15 +330,32 @@ class InceptionV3Backbone(nn.Module):
         x = bc(80, 1, name="Conv2d_3b_1x1")(x, train)
         x = bc(192, 3, name="Conv2d_4a_3x3")(x, train)
         x = max_pool_torch(x, 3, 2)
-        x = _InceptionA(32, dtype=self.dtype, name="Mixed_5b")(x, train)
-        x = _InceptionA(64, dtype=self.dtype, name="Mixed_5c")(x, train)
-        x = _InceptionA(64, dtype=self.dtype, name="Mixed_5d")(x, train)
-        out5 = x
-        x = _InceptionB(dtype=self.dtype, name="Mixed_6a")(x, train)
-        x = _InceptionC(128, dtype=self.dtype, name="Mixed_6b")(x, train)
-        x = _InceptionC(160, dtype=self.dtype, name="Mixed_6c")(x, train)
-        x = _InceptionC(160, dtype=self.dtype, name="Mixed_6d")(x, train)
-        x = _InceptionC(192, dtype=self.dtype, name="Mixed_6e")(x, train)
+        if self.stop_at == "stem":
+            return [x]
+        blocks = [("Mixed_5b", _InceptionA(32, dtype=self.dtype,
+                                           name="Mixed_5b")),
+                  ("Mixed_5c", _InceptionA(64, dtype=self.dtype,
+                                           name="Mixed_5c")),
+                  ("Mixed_5d", _InceptionA(64, dtype=self.dtype,
+                                           name="Mixed_5d")),
+                  ("Mixed_6a", _InceptionB(dtype=self.dtype,
+                                           name="Mixed_6a")),
+                  ("Mixed_6b", _InceptionC(128, dtype=self.dtype,
+                                           name="Mixed_6b")),
+                  ("Mixed_6c", _InceptionC(160, dtype=self.dtype,
+                                           name="Mixed_6c")),
+                  ("Mixed_6d", _InceptionC(160, dtype=self.dtype,
+                                           name="Mixed_6d")),
+                  ("Mixed_6e", _InceptionC(192, dtype=self.dtype,
+                                           name="Mixed_6e"))]
+        out5 = None
+        for bname, blk in blocks:
+            x = blk(x, train)
+            if bname == "Mixed_5d":
+                out5 = x
+            if self.stop_at == bname:
+                return [x] if out5 is None or bname == "Mixed_5d" \
+                    else [out5, x]
         return [out5, x]
 
 

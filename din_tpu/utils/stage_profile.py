@@ -7,7 +7,10 @@ compiled-HLO flop counts.  This is the tool that located the v5e stem
 bottlenecks (64-lane convs, pool layouts) behind ROADMAP item 2.
 
 CLI:  python -m din_tpu.utils.stage_profile [--canonical] [--chunk 8]
-          [--size 720x1280] [--backbone vgg16]
+          [--size 720x1280] [--backbone vgg16|inv3|res18|res50]
+
+Non-VGG backbones use their ``stop_at`` attribute (block-granularity
+prefixes) instead of plan truncation.
 """
 
 from __future__ import annotations
@@ -67,18 +70,73 @@ def profile_vgg(chunk: int = 8, size=(720, 1280), folded: bool = True,
         prev_t, prev_f = t, fl
 
 
+_STAGES = {
+    "inv3": ["stem", "Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a",
+             "Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"],
+    "res18": ["stem", "layer1", "layer2", "layer3", "layer4"],
+    "res50": ["stem", "layer1", "layer2", "layer3", "layer4"],
+}
+
+
+def profile_stop_at(backbone: str, chunk: int = 8, size=(720, 1280),
+                    iters: int = 6, peak: float = V5E_BF16_PEAK,
+                    train_bn: bool = False):
+    """Prefix-difference a stop_at-capable backbone (inv3/res18/res50):
+    yields (stage, delta_ms, delta_tflop, stage_mfu, cum_ms) for fwd+bwd
+    (grad wrt params; BN in running-average mode unless train_bn)."""
+    from din_tpu.nn.backbones import build_backbone
+
+    rng = np.random.RandomState(0)
+    H, W = size
+    x = jnp.asarray(rng.rand(chunk, H, W, 3) * 2 - 1, jnp.bfloat16)
+    full = build_backbone(backbone, dtype=jnp.bfloat16)
+    variables = full.init(jax.random.PRNGKey(0), x, False)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    prev_t = prev_f = 0.0
+    for stage in _STAGES[backbone]:
+        mod = build_backbone(backbone, dtype=jnp.bfloat16, stop_at=stage)
+
+        def loss(p, xx, mod=mod):
+            outs = mod.apply({"params": p, "batch_stats": stats}, xx,
+                             train_bn)
+            return sum(o.astype(jnp.float32).sum() for o in outs)
+
+        g = jax.jit(jax.grad(loss))
+        try:
+            fl = _flops_of(g, params, x)
+        except Exception:
+            fl = float("nan")
+        o = g(params, x)
+        _ = float(jax.tree_util.tree_leaves(o)[0].astype(jnp.float32).sum())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            o = g(params, x)
+        _ = float(jax.tree_util.tree_leaves(o)[0].astype(jnp.float32).sum())
+        t = (time.perf_counter() - t0) / iters
+        dt, df = t - prev_t, fl - prev_f
+        yield (stage, dt * 1e3, df / 1e12,
+               df / dt / peak if dt > 0 else float("nan"), t * 1e3)
+        prev_t, prev_f = t, fl
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--canonical", action="store_true",
                     help="profile with the folded stem disabled")
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--size", default="720x1280")
+    ap.add_argument("--backbone", default="vgg16")
     args = ap.parse_args()
     H, W = (int(v) for v in args.size.split("x"))
     print(f"{'prefix':>14} {'d_ms':>8} {'d_tflop':>9} {'stageMFU':>9} "
           f"{'cum_ms':>8}")
-    for row in profile_vgg(chunk=args.chunk, size=(H, W),
-                           folded=not args.canonical):
+    if args.backbone in _STAGES:
+        rows = profile_stop_at(args.backbone, chunk=args.chunk, size=(H, W))
+    else:
+        rows = profile_vgg(chunk=args.chunk, size=(H, W),
+                           folded=not args.canonical)
+    for row in rows:
         print(f"{row[0]:>14} {row[1]:8.2f} {row[2]:9.3f} {row[3]:9.3f} "
               f"{row[4]:8.1f}", flush=True)
 
