@@ -64,3 +64,73 @@ def profiler_trace(log_dir: Optional[str]):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def _head_probes():
+    """Reference-shape probes mirroring the modules' __main__ blocks
+    (AT_infer_module.py:146-151, TCE_STBiP_module.py:373-408,
+    dynamic_infer_module.py __main__): (name, module, example args)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from din_tpu.heads.arg import GCNModule
+    from din_tpu.heads.at import ActorTransformer
+    from din_tpu.heads.din import DynamicPersonInference
+    from din_tpu.heads.higcin import CrossInferBlock
+    from din_tpu.heads.pctdm import PCTDM
+    from din_tpu.heads.sacrf_biute import SACRF, BiUTE
+    from din_tpu.heads.tce import MultiHeadTCE
+
+    rng = np.random.RandomState(0)
+    B, T, N, C = 2, 10, 12, 1024
+    x = jnp.asarray(rng.randn(B, T, N, C), jnp.float32)
+    xbtn = x.reshape(B * T, N, C)
+    boxes = jnp.asarray(
+        np.stack([rng.uniform(0, 78, (B * T, N)),
+                  rng.uniform(0, 43, (B * T, N)),
+                  rng.uniform(0, 78, (B * T, N)),
+                  rng.uniform(0, 43, (B * T, N))], -1), jnp.float32)
+    ctx = jnp.asarray(rng.randn(B * T, 45, 80, 256), jnp.float32)
+    return [
+        ("DIN (Dynamic_Person_Inference)",
+         DynamicPersonInference(in_dim=C), (x,)),
+        ("ARG GCN_Module",
+         GCNModule(num_features_gcn=C, num_features_relation=256,
+                   num_graph=16, pos_threshold=0.2, out_w=80),
+         (x.reshape(B, T * N, C),
+          boxes.reshape(B, T, N, 4).reshape(B, T * N, 4))),
+        ("Actor_Transformer", ActorTransformer(in_dim=C), (xbtn,)),
+        ("PCTDM", PCTDM(num_players=N, input_size=C), (x,)),
+        ("HiGCIN CrossInferBlock", CrossInferBlock(in_dim=C), (x,)),
+        ("SACRF", SACRF(in_dim=C, num_actions=9, image_size=(720, 1280),
+                        out_size=(45, 80)),
+         (x, boxes.reshape(B, T, N, 4))),
+        ("BiUTE", BiUTE(in_dim=C, num_boxes=N), (x,)),
+        ("MultiHeadTCE", MultiHeadTCE(num_heads=2, num_layers=1,
+                                      num_features_context=256),
+         (xbtn, ctx)),
+    ]
+
+
+def main():
+    """Per-head FLOP/param report at reference shapes — the TPU-native
+    analogue of the reference modules' thop __main__ probes."""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--head", default="all",
+                    help="substring filter on head names")
+    args = ap.parse_args()
+    for name, mod, ex in _head_probes():
+        if args.head != "all" and args.head.lower() not in name.lower():
+            continue
+        try:
+            variables = mod.init(jax.random.PRNGKey(0), *ex)
+            print(module_cost_report(mod, variables, *ex, name=name),
+                  flush=True)
+        except Exception as e:  # pragma: no cover - probe robustness
+            print(f"{name}: FAILED {str(e)[:160]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

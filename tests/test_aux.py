@@ -85,3 +85,17 @@ def test_auto_resume(tmp_path):
     train_net(cfg2, max_steps_per_epoch=2)
     log = open(os.path.join(cfg2.result_path, "log.txt")).read()
     assert "resuming at epoch 2" in log
+
+
+def test_head_flop_probes():
+    """The per-head FLOP probe CLI (reference __main__ analogue,
+    AT_infer_module.py:146-151) builds and reports every head."""
+    from din_tpu.utils.profiling import _head_probes, module_cost_report
+
+    probes = {name: (mod, ex) for name, mod, ex in _head_probes()}
+    assert len(probes) == 8
+    import jax
+    mod, ex = probes["BiUTE"]
+    variables = mod.init(jax.random.PRNGKey(0), *ex)
+    line = module_cost_report(mod, variables, *ex, name="BiUTE")
+    assert "GFLOPs" in line and "#Params" in line
