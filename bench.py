@@ -65,10 +65,11 @@ def _backbone_body_flops(cfg, chunk):
 
     H, W = cfg.image_size
     policy = getattr(cfg, "remat_policy", "full")
+    if not getattr(cfg, "remat_backbone", True):
+        policy = "none"                # body built without remat
     bb = build_backbone(cfg.backbone, dtype=jnp.dtype(cfg.compute_dtype),
                         folded_stem=getattr(cfg, "folded_stem", True),
                         remat_early=policy == "early")
-    early = policy == "early" and getattr(bb, "remat_early", False)
     frames = jnp.zeros((chunk, H, W, 3), jnp.dtype(cfg.compute_dtype))
     variables = bb.init(jax.random.PRNGKey(0), frames, False)
 
@@ -79,7 +80,10 @@ def _backbone_body_flops(cfg, chunk):
                                **({"batch_stats": variables["batch_stats"]}
                                   if "batch_stats" in variables else {})},
                               xx, False))
-        return apply(params, x) if early else jax.checkpoint(apply)(params, x)
+        if policy == "full" or (policy == "early"
+                                and not getattr(bb, "remat_early", False)):
+            return jax.checkpoint(apply)(params, x)
+        return apply(params, x)
 
     g = jax.jit(jax.grad(loss, argnums=0))
     return _compiled_flops(g, variables["params"], frames)
@@ -164,7 +168,8 @@ def _flagship():
     _log({"metric": "flagship_loss", "value": loss})
     # useful-MFU: the folded stem executes 2x structural-zero stem flops, so
     # the executed-HLO MFU overstates useful work.  Count the CANONICAL
-    # program's flops (AOT compile only, never run) against the same dt.
+    # program's flops against the same dt (costs a second model build +
+    # compile; the canonical program itself is never stepped).
     mfu_useful = float("nan")
     try:
         ccfg = cfg.replace(folded_stem=False)

@@ -88,7 +88,7 @@ class Trunk(nn.Module):
     compute_dtype: Any = jnp.bfloat16
     roi_align_impl: str = "auto"
     remat_backbone: bool = True
-    remat_policy: str = "full"          # 'full' | 'save_deep'
+    remat_policy: str = "full"          # 'early' | 'full' | 'save_deep'
     frame_chunk: Optional[int] = None   # None = auto
     folded_stem: bool = True            # VGG stem fold A/B knob
 

@@ -30,7 +30,7 @@ _LANE = 128
 _VMEM_LIMIT = 11 * 2 ** 20       # 16M scoped vmem minus pipeline headroom
 
 
-def _rows_per_block(half_h: int, w2: int, c: int, itemsize: int,
+def _rows_per_block(half_h: int, w2: int, c: int,
                     bwd: bool = False) -> int:
     """Output row-pairs per grid step, snapped to a divisor of H//2.
 
@@ -77,7 +77,7 @@ def _bwd_kernel(x_ref, g_ref, dx_ref, *, c):
 def _pallas_fwd_call(x, interpret):
     F, H, W2, C = x.shape
     c = C // 2
-    R = _rows_per_block(H // 2, W2, C, x.dtype.itemsize)
+    R = _rows_per_block(H // 2, W2, C)
     x5 = x.reshape(F, H // 2, 2, W2, C)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, c=c),
@@ -102,7 +102,7 @@ def _fp_fwd(x, interpret):
 def _fp_bwd(interpret, x, g):
     F, H, W2, C = x.shape
     c = C // 2
-    R = _rows_per_block(H // 2, W2, C, x.dtype.itemsize, bwd=True)
+    R = _rows_per_block(H // 2, W2, C, bwd=True)
     x5 = x.reshape(F, H // 2, 2, W2, C)
     dx = pl.pallas_call(
         functools.partial(_bwd_kernel, c=c),

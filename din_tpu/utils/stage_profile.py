@@ -98,8 +98,12 @@ def profile_stop_at(backbone: str, chunk: int = 8, size=(720, 1280),
         mod = build_backbone(backbone, dtype=jnp.bfloat16, stop_at=stage)
 
         def loss(p, xx, mod=mod):
-            outs = mod.apply({"params": p, "batch_stats": stats}, xx,
-                             train_bn)
+            variables = {"params": p, "batch_stats": stats}
+            if train_bn:
+                outs, _ = mod.apply(variables, xx, True,
+                                    mutable=["batch_stats"])
+            else:
+                outs = mod.apply(variables, xx, False)
             return sum(o.astype(jnp.float32).sum() for o in outs)
 
         g = jax.jit(jax.grad(loss))
