@@ -265,7 +265,9 @@ def _loader_in_loop(cfg, device_resident_clips):
         step = make_train_step(model, cfg, tx, frame0_labels=True,
                                has_bn=bool(variables.get("batch_stats")),
                                donate=False)
-        loader = BatchLoader(ds, cfg.batch_size, shuffle=True, num_workers=4)
+        workers = max(4, min(8, os.cpu_count() or 4))
+        loader = BatchLoader(ds, cfg.batch_size, shuffle=True,
+                             num_workers=workers)
         # host-side pipeline alone (decode + stack, no device transfer):
         # this is the part the framework owns; it must be faster than the
         # device step so prefetch can hide it
@@ -293,6 +295,7 @@ def _loader_in_loop(cfg, device_resident_clips):
               "fraction_of_device_resident":
                   round(clips / max(device_resident_clips, 1e-9), 3),
               "host_decode_clips_per_sec": round(decode_clips, 3),
+              "decode_workers": workers,
               # NOTE: in this environment the chip is behind a remote
               # tunnel; jax.device_put runs at ~13 MB/s (7.5 s per 110 MB
               # uint8 batch), which caps the end-to-end number.  On a real
