@@ -132,6 +132,7 @@ class Config:
     profile_dir: Optional[str] = None    # jax.profiler trace output dir
     debug_nans: bool = False             # jax nan-checking (debug runs)
     auto_resume: bool = False            # resume latest ckpt in result_path
+    checkpoint_backend: str = "msgpack"  # 'msgpack' file | 'orbax' dir (pod-safe)
 
     # Derived at init_config()
     result_path: Optional[str] = None
@@ -156,7 +157,13 @@ class Config:
     def init_config(self, need_new_folder: bool = True) -> "Config":
         if self.exp_name is None:
             time_str = time.strftime("%Y-%m-%d_%H-%M-%S", time.localtime())
-            self.exp_name = "[%s_stage%d]<%s>" % (self.exp_note, self.training_stage, time_str)
+            if self.checkpoint_backend == "orbax":
+                # tensorstore rejects []<> in kvstore paths; drop the
+                # reference's decorative brackets for orbax runs
+                self.exp_name = "%s_stage%d_%s" % (
+                    self.exp_note, self.training_stage, time_str)
+            else:
+                self.exp_name = "[%s_stage%d]<%s>" % (self.exp_note, self.training_stage, time_str)
         self.result_path = os.path.join(self.result_root, self.exp_name)
         self.log_path = os.path.join(self.result_path, "log.txt")
         if need_new_folder:

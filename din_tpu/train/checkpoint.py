@@ -7,10 +7,14 @@ the filename (train_net.py:120-128); stage-2 init pulls backbone + fc_emb
 from the stage-1 file (infer_model.py:122-126) or resumes a full stage-2
 checkpoint (train_net_dynamic.py:84-89).
 
-Here checkpoints are msgpack-serialised pytrees (flax.serialization).  The
-reference saves optimizer state but never restores it and hardcodes
-start_epoch=1 (train_net.py:99,121-125) — fixed by intent: ``load_state``
-restores epoch and optimizer too.
+Here checkpoints are msgpack-serialised pytrees (flax.serialization) by
+default; ``backend="orbax"`` (cfg.checkpoint_backend) writes an orbax
+directory instead — multi-host-safe sharded saves for pod training, where
+every process must participate in the write (the reference is single-host
+torch.save).  ``load_checkpoint`` auto-detects the format (orbax
+checkpoints are directories).  The reference saves optimizer state but
+never restores it and hardcodes start_epoch=1 (train_net.py:99,121-125) —
+fixed by intent: ``load_state`` restores epoch and optimizer too.
 """
 
 from __future__ import annotations
@@ -29,7 +33,14 @@ def _to_host(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
-def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
+def save_checkpoint(path: str, payload: Dict[str, Any],
+                    backend: str = "msgpack") -> None:
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path), _to_host(payload), force=True)
+        ckptr.wait_until_finished()
+        return
     data = serialization.msgpack_serialize(_to_host(payload))
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -38,6 +49,9 @@ def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
+    if os.path.isdir(path):                 # orbax checkpoint directory
+        import orbax.checkpoint as ocp
+        return ocp.StandardCheckpointer().restore(os.path.abspath(path))
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
 

@@ -328,7 +328,7 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
                         np.asarray, state.batch_stats),
                     "opt_state": flax.serialization.to_state_dict(
                         jax.tree_util.tree_map(np.asarray, state.opt_state)),
-                })
+                }, backend=getattr(cfg, "checkpoint_backend", "msgpack"))
                 print_log(cfg.log_path, "model saved to: " + filepath)
             elif test_info["activities_acc"] == best["activities_acc"]:
                 ckpt_lib.save_stage1_components(

@@ -99,3 +99,30 @@ def test_head_flop_probes():
     variables = mod.init(jax.random.PRNGKey(0), *ex)
     line = module_cost_report(mod, variables, *ex, name="BiUTE")
     assert "GFLOPs" in line and "#Params" in line
+
+
+def test_orbax_checkpoint_roundtrip_and_resume(tmp_path):
+    """cfg.checkpoint_backend='orbax' writes a directory checkpoint that
+    load_checkpoint auto-detects and a second run can resume from —
+    multi-host-safe saves the msgpack file path can't provide."""
+    cfg1 = _smoke_cfg(tmp_path, max_epoch=2, exp_note="orbax_a",
+                      backbone="alex", out_size=(1, 2), emb_features=256,
+                      checkpoint_backend="orbax")
+    train_net(cfg1, max_steps_per_epoch=2)
+    ckpts = sorted(f for f in os.listdir(cfg1.result_path)
+                   if f.endswith(".ckpt"))
+    assert ckpts
+    last = os.path.join(cfg1.result_path, ckpts[-1])
+    assert os.path.isdir(last)          # orbax = directory checkpoint
+
+    from din_tpu.train.checkpoint import load_checkpoint
+    ckpt = load_checkpoint(last)
+    assert int(ckpt["epoch"]) == 2
+    assert "params" in ckpt and "opt_state" in ckpt
+
+    cfg2 = _smoke_cfg(tmp_path, max_epoch=1, exp_note="orbax_b",
+                      backbone="alex", out_size=(1, 2), emb_features=256,
+                      load_stage2model=True, stage2model=last)
+    train_net(cfg2, max_steps_per_epoch=2)
+    log = open(os.path.join(cfg2.result_path, "log.txt")).read()
+    assert "resuming at epoch 3" in log
