@@ -121,9 +121,15 @@ class Config:
     prefetch_depth: int = 2              # host->device pipeline depth
     roi_align_impl: str = "auto"         # auto|onehot|gather|pallas
     frame_chunk: Optional[int] = None    # frames per backbone micro-batch
-    remat_policy: str = "early"          # 'early' (two-segment, VGG) | 'full' | 'save_deep'
+    # 'early' (two-segment, VGG) | 'full' | 'save_deep'.  NOTE memory: the
+    # full-resolution budget assumes 'early', which stores all deep (conv3+)
+    # activations per scan chunk (~6GB at bs4/chunk8); configs pushing batch
+    # or frame counts beyond the flagship should fall back to 'full'
+    # (one chunk's activations, more recompute) — measured trade in PERF.md.
+    remat_policy: str = "early"
     remat_backbone: bool = True          # remat the scan body (False = let XLA decide)
-    folded_stem: bool = True             # 1x2-fold VGG stem (din_tpu/nn/stem.py)
+    folded_stem: bool = True             # fold input stems (din_tpu/nn/stem.py)
+    fuse_multiscale_roi: bool = True     # resize composed into RoIAlign rows
     pretrained_backbone_path: Optional[str] = None  # torch state_dict file (optional)
     result_root: str = "result"
     num_workers: int = 4                 # host decode threads

@@ -38,7 +38,10 @@ def save_checkpoint(path: str, payload: Dict[str, Any],
     if backend == "orbax":
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(path), _to_host(payload), force=True)
+        # save the payload as-is: jax.Array leaves keep their sharding, so
+        # model-sharded params on a pod are written distributed (np.asarray
+        # here would raise on non-fully-addressable arrays)
+        ckptr.save(os.path.abspath(path), payload, force=True)
         ckptr.wait_until_finished()
         return
     data = serialization.msgpack_serialize(_to_host(payload))
@@ -56,7 +59,8 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return serialization.msgpack_restore(f.read())
 
 
-def save_stage1_components(path: str, variables: Dict[str, Any]) -> None:
+def save_stage1_components(path: str, variables: Dict[str, Any],
+                           backend: str = "msgpack") -> None:
     """Component-wise stage-1 save (base_model.py:46-54): backbone (trunk),
     fc_emb (embed), fc_actions, fc_activities — plus batch stats."""
     params = variables["params"]
@@ -67,7 +71,7 @@ def save_stage1_components(path: str, variables: Dict[str, Any]) -> None:
         "fc_activities": params.get("fc_activities", {}),
         "batch_stats": variables.get("batch_stats", {}),
     }
-    save_checkpoint(path, payload)
+    save_checkpoint(path, payload, backend=backend)
 
 
 def load_backbone_stage2(variables: Dict[str, Any],
