@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 import pickle
 import random
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -65,6 +65,18 @@ def volley_read_dataset(path: str, seqs: Sequence[int]):
 
 def volley_all_frames(data) -> List[Tuple[int, int]]:
     return [(sid, fid) for sid, anns in data.items() for fid in anns]
+
+
+def volley_random_frames(data, num_frames: int,
+                         rng: Optional[np.random.RandomState] = None
+                         ) -> List[Tuple[int, int]]:
+    """num_frames (sid, fid) pairs sampled with replacement over videos,
+    then one random clip within each chosen video (reference
+    volleyball.py:83-88; unused by the training pipelines there, kept for
+    parity).  rng defaults to numpy's global state like the reference."""
+    rng = rng or np.random
+    sids = rng.choice(list(data.keys()), num_frames)
+    return [(int(sid), int(rng.choice(list(data[sid])))) for sid in sids]
 
 
 def load_tracks(data_path: str):

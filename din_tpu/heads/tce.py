@@ -21,6 +21,31 @@ from din_tpu.nn.layers import kaiming_normal_init
 from din_tpu.ops.image import calc_pairwise_distance_3d
 
 
+def _context_attend_ffn(emb, img, context_dropout, deterministic, dtype):
+    """Shared TCE tail: attention of roi embeddings over OH*OW context
+    cells + residual/LN/FFN (TCE_STBiP_module.py:175-193 and 271-285 — the
+    raw-RoI and Embfeature variants share this block verbatim).  Must be
+    called from a compact ``__call__`` (creates named submodules).
+
+    emb: [BT, N, NFC]; img: [BT, OH, OW, NFC].  Returns [BT, N, NFC]."""
+    BT, OH, OW, NFC = img.shape
+    img_flat = img.reshape(BT, OH * OW, NFC)
+    a = jnp.einsum("bnc,bpc->bnp", emb, img_flat, precision="highest")
+    att = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(emb.dtype)
+    ctx = jnp.einsum("bnp,bpc->bnc", att, img_flat, precision="highest")
+    ctx = nn.Dropout(context_dropout, deterministic=deterministic,
+                     name="dropout")(ctx)
+    ctx = nn.LayerNorm(epsilon=1e-5, name="layernorm1")(ctx + emb)
+    y = nn.Dense(NFC, kernel_init=nn.initializers.lecun_normal(),
+                 precision="highest", dtype=dtype, name="FFN_1")(ctx)
+    y = nn.relu(y)
+    y = nn.Dropout(context_dropout, deterministic=deterministic,
+                   name="FFN_dropout")(y)
+    y = nn.Dense(NFC, kernel_init=nn.initializers.lecun_normal(),
+                 precision="highest", dtype=dtype, name="FFN_2")(y)
+    return nn.LayerNorm(epsilon=1e-5, name="layernorm2")(ctx + y)
+
+
 class EmbfeatureContextEncoding(nn.Module):
     """One TCE head: roi embeddings attend over the OH*OW context cells.
 
@@ -38,8 +63,6 @@ class EmbfeatureContextEncoding(nn.Module):
     def __call__(self, roi_features, image_feature,
                  deterministic: bool = True):
         NFC = self.num_features_context
-        BT, OH, OW, D = image_feature.shape
-        N = roi_features.shape[1]
 
         # 1x1 conv downsample of the context (TCE_STBiP_module.py:229,266)
         img = nn.Dense(NFC, kernel_init=nn.initializers.lecun_normal()
@@ -49,22 +72,72 @@ class EmbfeatureContextEncoding(nn.Module):
         emb = nn.Dense(NFC, kernel_init=nn.initializers.lecun_normal(),
                        precision="highest", dtype=self.dtype,
                        name="emb_roi")(roi_features)          # [BT,N,NFC]
+        return _context_attend_ffn(emb, img, self.context_dropout,
+                                   deterministic, self.dtype)
 
-        img_flat = img.reshape(BT, OH * OW, NFC)
-        a = jnp.einsum("bnc,bpc->bnp", emb, img_flat, precision="highest")
-        att = jax.nn.softmax(a.astype(jnp.float32), axis=-1).astype(emb.dtype)
-        ctx = jnp.einsum("bnp,bpc->bnc", att, img_flat, precision="highest")
-        ctx = nn.Dropout(self.context_dropout, deterministic=deterministic,
-                         name="dropout")(ctx)
-        ctx = nn.LayerNorm(epsilon=1e-5, name="layernorm1")(ctx + emb)
-        y = nn.Dense(NFC, kernel_init=nn.initializers.lecun_normal(),
-                     precision="highest", dtype=self.dtype, name="FFN_1")(ctx)
-        y = nn.relu(y)
-        y = nn.Dropout(self.context_dropout, deterministic=deterministic,
-                       name="FFN_dropout")(y)
-        y = nn.Dense(NFC, kernel_init=nn.initializers.lecun_normal(),
-                     precision="highest", dtype=self.dtype, name="FFN_2")(y)
-        return nn.LayerNorm(epsilon=1e-5, name="layernorm2")(ctx + y)
+
+class ContextEncoding(nn.Module):
+    """Raw-RoI TCE head (TCE_STBiP_module.py:129-194
+    ``ContextEncodingTransformer``): layer 1 consumes the raw RoIAlign crop
+    ([BT, N, K, K, D] here) — 1x1-downsampled to NFC, flattened, embedded —
+    instead of fc_emb actor embeddings; layers > 1 consume the previous
+    layer's concatenated head outputs.  Bundled AAAI'21 code with no model
+    using it in the reference; provided for capability parity.
+    """
+
+    num_features_context: int
+    layer_id: int = 1
+    context_dropout: float = 0.1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, roi_features, image_feature,
+                 deterministic: bool = True):
+        NFC = self.num_features_context
+        dense = lambda name: nn.Dense(
+            NFC, kernel_init=kaiming_normal_init
+            if name == "downsample" else nn.initializers.lecun_normal(),
+            precision="highest", dtype=self.dtype, name=name)
+        if self.layer_id == 1:
+            # roi_features [BT, N, K, K, D]: 1x1 conv D->NFC, flatten K*K*NFC
+            # (TCE_STBiP_module.py:169-176)
+            BT, N = roi_features.shape[:2]
+            roi = dense("downsample1")(roi_features)
+            roi = roi.reshape(BT, N, -1)
+            emb = dense("emb_roi")(roi)
+            img = dense("downsample2")(image_feature)
+        else:
+            # roi_features [BT, N, NFC * num_heads] from the previous layer
+            emb = dense("emb_roi")(roi_features)
+            img = dense("downsample")(image_feature)
+        return _context_attend_ffn(emb, img, self.context_dropout,
+                                   deterministic, self.dtype)
+
+
+class MultiHeadLayerContextEncoding(nn.Module):
+    """Raw-RoI multi-head/multi-layer wrapper
+    (TCE_STBiP_module.py:196-221): per layer the head outputs are
+    concatenated and become the next layer's roi features."""
+
+    num_heads: int
+    num_layers: int
+    num_features_context: int
+    context_dropout: float = 0.1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, roi_features, image_feature,
+                 deterministic: bool = True):
+        x = roi_features
+        for layer in range(self.num_layers):
+            outs = [ContextEncoding(
+                self.num_features_context, layer_id=layer + 1,
+                context_dropout=self.context_dropout, dtype=self.dtype,
+                name=f"CET_{layer}_{h}")(x, image_feature,
+                                         deterministic=deterministic)
+                for h in range(self.num_heads)]
+            x = jnp.concatenate(outs, axis=-1)
+        return x
 
 
 class MultiHeadTCE(nn.Module):

@@ -62,6 +62,9 @@ def ref():
     ra = _stub("roi_align.roi_align", RoIAlign=object)
     _stub("roi_align", roi_align=ra)
     _stub("cv2", resize=None)
+    sk_io = _stub("skimage.io", imread=None)
+    sk_tf = _stub("skimage.transform", resize=None)
+    _stub("skimage", io=sk_io, transform=sk_tf)
 
     sys.path.insert(0, _REF)
     try:
@@ -70,6 +73,7 @@ def ref():
                      "pctdm_infer_module", "AT_infer_module",
                      "TCE_STBiP_module", "higcin_infer_module"):
             mods[name] = importlib.import_module(f"infer_module.{name}")
+        mods["volleyball"] = importlib.import_module("volleyball")
     finally:
         sys.path.remove(_REF)
     return types.SimpleNamespace(**mods)
@@ -384,6 +388,76 @@ def test_tce_oracle(ref, rng):
                     deterministic=True)
     np.testing.assert_allclose(np.asarray(out).reshape(want.shape), want,
                                rtol=1e-3, atol=1e-4)
+
+
+def _conv1x1(m):
+    """torch 1x1 Conv2d [O,I,1,1] -> flax Dense kernel [I,O]."""
+    return {"kernel": _np(m.weight)[:, :, 0, 0].T, "bias": _np(m.bias)}
+
+
+def _raw_tce_port(tm, layer_id, K, NFC):
+    d = {
+        "layernorm1": lnorm(tm.layernorm1), "layernorm2": lnorm(tm.layernorm2),
+        "FFN_1": lin(tm.FFN[0]), "FFN_2": lin(tm.FFN[3]),
+    }
+    if layer_id == 1:
+        d["downsample1"] = _conv1x1(tm.downsample1)
+        d["downsample2"] = _conv1x1(tm.downsample2)
+        # torch flattens the downsampled roi channel-major (c,i,j)
+        # (TCE_STBiP_module.py:172); ours is position-major (i,j,c)
+        w = _np(tm.emb_roi.weight)                        # [NFC, NFC*K*K]
+        w = w.reshape(NFC, NFC, K, K).transpose(0, 2, 3, 1).reshape(NFC, -1)
+        d["emb_roi"] = {"kernel": w.T, "bias": _np(tm.emb_roi.bias)}
+    else:
+        d["downsample"] = _conv1x1(tm.downsample)
+        d["emb_roi"] = lin(tm.emb_roi)
+    return d
+
+
+def test_raw_roi_tce_oracle(ref, rng):
+    """Raw-RoI MultiHeadLayerContextEncoding (TCE_STBiP_module.py:129-221):
+    layer 1 consumes the raw RoIAlign crop, the context conv is hardcoded to
+    768 input channels in the reference."""
+    from din_tpu.heads.tce import MultiHeadLayerContextEncoding
+    BT, N, D, K, NFC, OH, OW = 3, 12, 24, 5, 16, 7, 9
+    heads, layers = 2, 2
+    roi = rng.randn(BT * N, D, K, K).astype(np.float32)
+    img = rng.randn(BT, 768, OH, OW).astype(np.float32)
+    tm = ref.TCE_STBiP_module.MultiHeadLayerContextEncoding(
+        heads, layers, NFC, D, K, N)
+    tm.eval()
+    with torch.no_grad():
+        want = tm(torch.from_numpy(roi), torch.from_numpy(img)).numpy()
+
+    mod = MultiHeadLayerContextEncoding(num_heads=heads, num_layers=layers,
+                                        num_features_context=NFC)
+    rj = jnp.asarray(roi.reshape(BT, N, D, K, K).transpose(0, 1, 3, 4, 2))
+    ij = jnp.asarray(img.transpose(0, 2, 3, 1))
+    v = mod.init(jax.random.PRNGKey(0), rj, ij)
+    ported = {}
+    for i in range(layers):
+        for j in range(heads):
+            ported[f"CET_{i}_{j}"] = _raw_tce_port(
+                tm.CET[i * heads + j], i + 1, K, NFC)
+    out = mod.apply({"params": graft(v["params"], ported)}, rj, ij,
+                    deterministic=True)
+    np.testing.assert_allclose(np.asarray(out).reshape(want.shape), want,
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_volley_random_frames_oracle(ref):
+    """volley_random_frames (reference volleyball.py:83-88): exact draw
+    parity against the reference under a seeded global numpy RNG."""
+    from din_tpu.data.volleyball import volley_random_frames
+    data = {1: {10: None, 20: None, 30: None},
+            4: {11: None}, 9: {5: None, 6: None}}
+    np.random.seed(123)
+    want = ref.volleyball.volley_random_frames(data, 7)
+    np.random.seed(123)
+    got = volley_random_frames(data, 7)
+    assert [(int(s), int(f)) for s, f in want] == got
+    for sid, fid in got:
+        assert fid in data[sid]
 
 
 # ---- DIN (Dynamic Person Inference) ----------------------------------------
