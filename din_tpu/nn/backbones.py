@@ -27,7 +27,7 @@ from jax.ad_checkpoint import checkpoint_name
 
 from din_tpu.nn.layers import (TorchBatchNorm, avg_pool_torch,
                                fused_relu, max_pool_torch, torch_conv)
-from din_tpu.nn.stem import folded_stem
+from din_tpu.nn.stem import folded_res_stem_conv, folded_stem
 
 # Activations cheap enough to keep under rematerialisation (deep layers at
 # reduced spatial resolution).  A remat policy of
@@ -188,16 +188,37 @@ class _Bottleneck(nn.Module):
         return fused_relu(out + identity)
 
 
+class _ConvKernel(nn.Module):
+    """Declares a bias-free conv kernel with nn.Conv's default init WITHOUT
+    applying it (folded-path analogue of _ConvParams for resnet conv1)."""
+
+    shape: Sequence[int]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          tuple(self.shape))
+
+
 class _ResNet(nn.Module):
     block: Any
     layers: Sequence[int]
     dtype: Any = jnp.float32
     stop_at: Any = None       # stage name ('stem'|'layer1'..): profiling aid
+    folded_stem: bool = True  # 2x2 space-to-depth fold of the 7x7/s2 conv1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = torch_conv(64, 7, stride=2, padding=3, use_bias=False,
-                       dtype=self.dtype, name="conv1")(x)
+        fold = (self.folded_stem and x.shape[-1] == 3
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        if fold:
+            # canonical param under the canonical checkpoint path; kernel
+            # folded at apply time (din_tpu/nn/stem.py fold_kernel_s2)
+            k = _ConvKernel((7, 7, 3, 64), name="conv1")()
+            x = folded_res_stem_conv(x, k, self.dtype)
+        else:
+            x = torch_conv(64, 7, stride=2, padding=3, use_bias=False,
+                           dtype=self.dtype, name="conv1")(x)
         x = TorchBatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = fused_relu(x)

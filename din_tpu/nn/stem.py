@@ -79,6 +79,53 @@ def folded_stem(x, k0, b0, k2, b2, dtype):
     return fold_pool_2x2(y)
 
 
+def fold_kernel_s2(kernel: jax.Array) -> jax.Array:
+    """[7, 7, Cin, Cout] stride-2 pad-3 canonical kernel -> [4, 4, 4*Cin,
+    Cout] stride-1 kernel over a 2x2 space-to-depth folded input (HWIO).
+
+    Derivation (per axis): output row o of the canonical conv reads input
+    row r = 2o + d for tap offset d = dh - 3 in [-3, 3].  Input row 2a + p
+    lives in folded row a, phase p, so tap dh maps to folded offset
+    floor(d/2) in {-2,-1,0,1} (4 taps, asymmetric pad (2,1)) and phase
+    d % 2.  The (dh, dw) -> (offset, phase-slot) map is injective, so the
+    folded kernel is an exact scatter of the canonical one: outputs are
+    bit-equal up to f32-accumulator reassociation, and canonical parameter
+    shapes/names/checkpoints are unchanged (kernels folded at apply time).
+    """
+    kh, kw, cin, cout = kernel.shape
+    assert (kh, kw) == (7, 7), "s2 folding is derived for 7x7 pad-3 kernels"
+    out = jnp.zeros((4, 4, _PHASES * _PHASES * cin, cout), kernel.dtype)
+    for dh in range(7):
+        ph, oh = (dh - 3) % _PHASES, (dh - 3) // _PHASES
+        for dw in range(7):
+            pw, ow = (dw - 3) % _PHASES, (dw - 3) // _PHASES
+            slot = ph * _PHASES + pw
+            out = out.at[oh + 2, ow + 2,
+                         slot * cin:(slot + 1) * cin, :].set(kernel[dh, dw])
+    return out
+
+
+def folded_res_stem_conv(x, kernel, dtype):
+    """7x7 stride-2 pad-3 input conv (resnet conv1, bias-free) as a 4x4
+    stride-1 conv over the 2x2 space-to-depth folded image.
+
+    The canonical form contracts 7*7*3=147 taps at stride 2 from a 3-channel
+    image — the same input-conv pathology measured for the VGG stem
+    (conv1_1 1.5% MFU) and inv3 Conv2d_1a (~1% MFU).  Folding quarters the
+    spatial positions and raises input channels to 12.  x: [F, H, W, Cin]
+    (H, W even); returns [F, H/2, W/2, Cout] = the canonical conv output
+    (BN/relu/maxpool apply unchanged downstream).
+    """
+    F, H, W, C = x.shape
+    xf = x.reshape(F, H // 2, _PHASES, W // 2, _PHASES, C)
+    xf = xf.transpose(0, 1, 3, 2, 4, 5).reshape(
+        F, H // 2, W // 2, _PHASES * _PHASES * C)
+    return jax.lax.conv_general_dilated(
+        xf.astype(dtype), fold_kernel_s2(kernel).astype(dtype),
+        window_strides=(1, 1), padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def max_pool_2x2(x):
     """2x2 stride-2 max-pool as reshape+max (torch MaxPool2d(2) on even
     NHWC maps).  Equivalent values to a windowed reduce; the _paired_max

@@ -237,3 +237,57 @@ def test_fold_pool_impls_agree():
     g_x = jax.grad(loss)(yf, "xla")
     g_p = jax.grad(loss)(yf, "pallas_interpret")
     np.testing.assert_array_equal(np.asarray(g_x), np.asarray(g_p))
+
+
+# ---- res18 stem space-to-depth fold ---------------------------------------
+
+def test_res18_stem_fold_matches_canonical():
+    """folded_res_stem_conv == the canonical 7x7/s2/p3 conv (values and
+    parameter gradients): a pure execution-layout change of resnet conv1
+    (reference backbone/backbone.py:115-134 via torchvision resnet18)."""
+    from din_tpu.nn.stem import fold_kernel_s2, folded_res_stem_conv
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.rand(2, 20, 28, 3) * 2 - 1, jnp.float32)
+    k = jnp.asarray(rng.randn(7, 7, 3, 64) * 0.1, jnp.float32)
+
+    def canonical(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    want = canonical(x, k)
+    got = folded_res_stem_conv(x, k, jnp.float32)
+    assert got.shape == want.shape == (2, 10, 14, 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-5)
+
+    # every canonical tap appears exactly once in the folded kernel
+    assert float(jnp.abs(fold_kernel_s2(k)).sum()) == pytest.approx(
+        float(jnp.abs(k).sum()), rel=1e-6)
+
+    def loss(k, fold):
+        y = folded_res_stem_conv(x, k, jnp.float32) if fold \
+            else canonical(x, k)
+        return (y * jnp.cos(jnp.arange(y.size).reshape(y.shape))).sum()
+
+    g_c = jax.grad(loss)(k, False)
+    g_f = jax.grad(loss)(k, True)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_c),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_res18_backbone_fold_knob_parity():
+    """ResNet18Backbone(folded_stem=True) == (folded_stem=False) on the
+    same params — the knob changes execution layout only."""
+    from din_tpu.nn.backbones import ResNet18Backbone
+
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.rand(1, 32, 48, 3) * 2 - 1, jnp.float32)
+    folded = ResNet18Backbone(folded_stem=True)
+    canon = ResNet18Backbone(folded_stem=False)
+    variables = folded.init(jax.random.PRNGKey(0), x)
+    out_f = folded.apply(variables, x)[0]
+    out_c = canon.apply(variables, x)[0]
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_c),
+                               rtol=1e-4, atol=1e-4)
