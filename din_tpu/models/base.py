@@ -44,6 +44,8 @@ class BasenetVolleyball(nn.Module):
             remat_policy=getattr(cfg, "remat_policy", "full"),
             remat_backbone=getattr(cfg, "remat_backbone", True),
             folded_stem=getattr(cfg, "folded_stem", True),
+                 fuse_multiscale_roi=getattr(
+                     cfg, "fuse_multiscale_roi", True),
             name="trunk")(
                 images, boxes, bn_train=train and not cfg.set_bn_eval)
         # stage-1 embedding: fc_emb + ReLU + dropout (base_model.py:119-121)
@@ -82,6 +84,8 @@ class BasenetCollective(nn.Module):
             remat_policy=getattr(cfg, "remat_policy", "full"),
             remat_backbone=getattr(cfg, "remat_backbone", True),
             folded_stem=getattr(cfg, "folded_stem", True),
+                 fuse_multiscale_roi=getattr(
+                     cfg, "fuse_multiscale_roi", True),
             name="trunk")(
                 images, boxes, bn_train=train and not cfg.set_bn_eval)
         feats = EmbedActors(nfb=cfg.num_features_boxes, use_layernorm=False,

@@ -41,6 +41,8 @@ def _make_trunk(cfg, name="trunk"):
                  remat_policy=getattr(cfg, "remat_policy", "full"),
                  remat_backbone=getattr(cfg, "remat_backbone", True),
                  folded_stem=getattr(cfg, "folded_stem", True),
+                 fuse_multiscale_roi=getattr(
+                     cfg, "fuse_multiscale_roi", True),
                  name=name)
 
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from din_tpu.nn.backbones import BACKBONES, SAVEABLE_ACT
 from din_tpu.nn.layers import kaiming_normal_init
 from din_tpu.ops.image import prep_images, resize_bilinear_align_corners
-from din_tpu.ops.roi_align import roi_align
+from din_tpu.ops.roi_align import roi_align, roi_align_multiscale
 
 
 class _BackboneStep(nn.Module):
@@ -91,6 +91,7 @@ class Trunk(nn.Module):
     remat_policy: str = "full"          # 'early' | 'full' | 'save_deep'
     frame_chunk: Optional[int] = None   # None = auto
     folded_stem: bool = True            # VGG stem fold A/B knob
+    fuse_multiscale_roi: bool = True    # compose resize into RoIAlign rows
 
     def _auto_chunk(self, n_frames: int, H: int, W: int) -> int:
         """Frames per backbone micro-batch.  At 720x1280 a single frame's
@@ -162,18 +163,28 @@ class Trunk(nn.Module):
             _, outs = scanned(None, packed)
             outputs = [o.reshape((B * T,) + o.shape[2:]) for o in outs]
 
-        feats = [resize_bilinear_align_corners(o, (OH, OW)) for o in outputs]
-        multiscale = feats[0] if len(feats) == 1 else jnp.concatenate(feats, -1)
-
         if not self.train_backbone:
-            multiscale = jax.lax.stop_gradient(multiscale)
             outputs = [jax.lax.stop_gradient(o) for o in outputs]
 
-        roi = roi_align(multiscale, boxes.reshape(B * T, N, 4),
-                        self.crop_size, impl=self.roi_align_impl)
+        needs_resize = any(o.shape[1:3] != (OH, OW) for o in outputs)
+        if self.fuse_multiscale_roi and needs_resize:
+            # compose the align-corners resize into the RoIAlign
+            # interpolation rows — never materializes the resized maps
+            # (ops/roi_align.py roi_align_multiscale); the multiscale
+            # return slot is None (no model consumes it)
+            multiscale = None
+            roi = roi_align_multiscale(outputs, boxes.reshape(B * T, N, 4),
+                                       self.crop_size, (OH, OW),
+                                       impl=self.roi_align_impl)
+        else:
+            feats = [resize_bilinear_align_corners(o, (OH, OW))
+                     for o in outputs]
+            multiscale = feats[0] if len(feats) == 1 \
+                else jnp.concatenate(feats, -1)
+            roi = roi_align(multiscale, boxes.reshape(B * T, N, 4),
+                            self.crop_size, impl=self.roi_align_impl)
         KH, KW = self.crop_size
-        D = multiscale.shape[-1]
-        roi = roi.reshape(B, T, N, KH, KW, D)
+        roi = roi.reshape(B, T, N, KH, KW, roi.shape[-1])
         return roi, multiscale, outputs
 
 

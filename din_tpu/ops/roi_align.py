@@ -146,6 +146,50 @@ def _roi_align_onehot(features: jax.Array, boxes: jax.Array,
     return out.astype(features.dtype)
 
 
+def roi_align_multiscale(feature_maps, boxes: jax.Array,
+                         crop_size: Tuple[int, int],
+                         out_size: Tuple[int, int],
+                         impl: str = "auto") -> jax.Array:
+    """RoIAlign over the align-corners multiscale channel-concat WITHOUT
+    materializing the resized maps.
+
+    The reference resizes every backbone map to (OH, OW), concatenates, and
+    RoIAligns the result (infer_model.py:164-179).  Both the align-corners
+    resize and the crop sampling are separable linear maps, so they compose:
+    the per-box [KH, OH] crop-interpolation rows are multiplied into the
+    [OH, h] resize rows, and the composed [KH, h] matrix samples the RAW map
+    directly.  Exactly equal (f32) to
+    ``roi_align(concat([resize(o, out_size) for o in maps]), boxes)`` while
+    skipping the [BT, OH, OW, C] resized tensor (for inv3 that tensor is
+    768-ch at 87x157 — a large HBM round-trip in forward AND backward).
+
+    feature_maps: list of [B, h_s, w_s, C_s]; boxes [B, N, 4] in (OH, OW)
+    feature coords.  Returns [B, N, KH, KW, sum(C_s)].
+    """
+    from din_tpu.ops.image import interp_matrix_align_corners
+
+    OH, OW = out_size
+    my = mx = None
+    parts = []
+    for o in feature_maps:
+        _, h, w, _ = o.shape
+        if (h, w) == (OH, OW):
+            parts.append(roi_align(o, boxes, crop_size, impl=impl))
+            continue
+        if my is None:
+            my, mx = _interp_rows(boxes, crop_size, OH, OW, jnp.float32)
+        ry = interp_matrix_align_corners(h, OH, jnp.float32)      # [OH, h]
+        rx = interp_matrix_align_corners(w, OW, jnp.float32)
+        myc = jnp.einsum("bnko,oh->bnkh", my, ry,
+                         precision="highest").astype(o.dtype)
+        mxc = jnp.einsum("bnkp,pw->bnkw", mx, rx,
+                         precision="highest").astype(o.dtype)
+        t = jnp.einsum("bnhH,bHWc->bnhWc", myc, o, precision="highest")
+        parts.append(jnp.einsum("bnwW,bnhWc->bnhwc", mxc, t,
+                                precision="highest").astype(o.dtype))
+    return jnp.concatenate(parts, axis=-1)
+
+
 # --------------------------------------------------------------------------
 # Pallas kernel: fused interp-matrix build + MXU matmul, one frame per step
 # --------------------------------------------------------------------------

@@ -134,3 +134,43 @@ def test_reference_box_layout(rng):
     feats2[0] = 0.0
     out2 = roi_align(jnp.asarray(feats2), jnp.asarray(boxes), (5, 5))
     np.testing.assert_allclose(np.asarray(out[1:]), np.asarray(out2[1:]))
+
+
+def test_multiscale_fusion_matches_materialized(rng):
+    """roi_align_multiscale == resize+concat+roi_align (values and feature
+    gradients): the align-corners resize composes exactly into the RoIAlign
+    interpolation rows (reference pipeline infer_model.py:164-179)."""
+    from din_tpu.ops.image import resize_bilinear_align_corners
+    from din_tpu.ops.roi_align import roi_align_multiscale
+
+    B, N, K = 3, 4, 5
+    OH, OW = 9, 13
+    shapes = [(9, 13, 6), (4, 7, 10)]      # scale 0 already at out_size
+    maps = [jnp.asarray(rng.randn(B, h, w, c), jnp.float32)
+            for (h, w, c) in shapes]
+    x1 = rng.uniform(-1, OW - 2, (B, N))
+    y1 = rng.uniform(-1, OH - 2, (B, N))
+    boxes = jnp.asarray(
+        np.stack([x1, y1, x1 + rng.uniform(1, 4, (B, N)),
+                  y1 + rng.uniform(1, 4, (B, N))], -1), jnp.float32)
+
+    def materialized(maps):
+        cat = jnp.concatenate(
+            [resize_bilinear_align_corners(m, (OH, OW)) for m in maps], -1)
+        return roi_align(cat, boxes, (K, K), impl="onehot")
+
+    def fused(maps):
+        return roi_align_multiscale(maps, boxes, (K, K), (OH, OW),
+                                    impl="onehot")
+
+    want = materialized(maps)
+    got = fused(maps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    cos = jnp.cos(jnp.arange(want.size).reshape(want.shape))
+    g_want = jax.grad(lambda ms: (materialized(ms) * cos).sum())(maps)
+    g_got = jax.grad(lambda ms: (fused(ms) * cos).sum())(maps)
+    for a, b in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
