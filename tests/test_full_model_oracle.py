@@ -34,8 +34,8 @@ import jax.numpy as jnp  # noqa: E402
 
 from test_backbones import (_TResNet18, _randomize_bn_stats,  # noqa: E402
                             _torch_vgg16_features)
-from test_reference_oracle import (_din_port, _np, _stub, graft,  # noqa: E402
-                                   lin, lnorm)
+from test_reference_oracle import (_att_block_port, _din_port,  # noqa: E402
+                                   _np, _stub, graft, lin, lnorm, lstm)
 
 from din_tpu.config import Config  # noqa: E402
 from din_tpu.models.registry import build_model  # noqa: E402
@@ -156,6 +156,9 @@ def _our_cfg(ref_cfg, **kw):
         num_features_boxes=ref_cfg.num_features_boxes,
         num_features_gcn=ref_cfg.num_features_gcn,
         num_features_relation=ref_cfg.num_features_relation,
+        num_graph=ref_cfg.num_graph,
+        gcn_layers=getattr(ref_cfg, "gcn_layers", 1),
+        pos_threshold=getattr(ref_cfg, "pos_threshold", 0.2),
         backbone=ref_cfg.backbone, train_backbone=ref_cfg.train_backbone,
         num_actions=ref_cfg.num_actions,
         num_activities=ref_cfg.num_activities,
@@ -189,8 +192,13 @@ def _make_inputs(rng, cfg, B=2):
 
 
 def _torch_inputs(images, boxes):
+    # boxes MUST be copied: the reference GCN_Module mutates boxes_in_flat
+    # in place (gcn_model.py:50-51), and torch.from_numpy shares memory
+    # with the numpy array — which jnp.asarray may ALSO alias zero-copy on
+    # the CPU backend when the buffer is 64-byte aligned, letting the torch
+    # forward corrupt the jax input (flaky, alignment-dependent).
     return (torch.from_numpy(images.transpose(0, 1, 4, 2, 3)),
-            torch.from_numpy(boxes))
+            torch.from_numpy(boxes.copy()))
 
 
 def _jax_inputs(images, boxes):
@@ -442,3 +450,288 @@ def test_dynamic_collective_full_oracle(ref_models, rng):
     got = np.asarray(out["activities"])
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+# ---- remaining stage-2 baselines end-to-end --------------------------------
+
+def _stage2_common(ref_models, rng, rcfg, model_name, tm, B=2):
+    """Shared trunk+embed graft for the vgg16 stage-2 baselines."""
+    cfg = _our_cfg(rcfg, inference_module_name=model_name)
+    model = build_model(cfg)
+    images, boxes = _make_inputs(rng, rcfg, B=B)
+    images = np.round(images)
+    ij, bj = _jax_inputs(images, boxes)
+    variables = model.init(jax.random.PRNGKey(0), ij, bj, train=False)
+    variables = _backbone_graft(variables, tm.backbone, rcfg.backbone)
+    ported = {"embed": _embed_port(tm.fc_emb_1, rcfg.crop_size[0],
+                                   rcfg.emb_features, tm.nl_emb_1)}
+    return cfg, model, images, boxes, ij, bj, variables, ported
+
+
+def test_at_volleyball_full_oracle(ref_models, rng):
+    """AT_volleyball end-to-end (infer_model.py:736-867): trunk + box PE +
+    actor transformer + readout."""
+    rcfg = _ref_cfg(num_frames=3, lite_dim=None, temporal_pooled_first=False)
+    torch.manual_seed(0)
+    tm = ref_models.infer_model.AT_volleyball(rcfg)
+    tm.eval()
+    cfg, model, images, boxes, ij, bj, variables, ported = _stage2_common(
+        ref_models, rng, rcfg, "at_volleyball", tm)
+    with torch.no_grad():
+        want = tm(_torch_inputs(images, boxes))["activities"].numpy()
+    ported["AT"] = {
+        "Q_W": lin(tm.AT.Q_W), "K_W": lin(tm.AT.K_W), "V_W": lin(tm.AT.V_W),
+        "layernorm1": lnorm(tm.AT.layernorm1),
+        "layernorm2": lnorm(tm.AT.layernorm2),
+        "FFN_linear1": lin(tm.AT.FFN_linear1),
+        "FFN_linear2": lin(tm.AT.FFN_linear2),
+    }
+    ported["fc_activities"] = lin(tm.fc_activities)
+    variables = dict(variables, params=graft(variables["params"], ported))
+    with jax.default_matmul_precision("highest"):
+        out = model.apply(variables, ij, bj, train=False)
+    np.testing.assert_allclose(np.asarray(out["activities"]), want,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_arg_volleyball_full_oracle(ref_models, rng):
+    """ARG_volleyball end-to-end incl. the eval-time 3-crop averaging
+    (infer_model.py:870-1023): T=9 input -> 3 crops of cfg.num_frames=3."""
+    rcfg = _ref_cfg(num_frames=3, lite_dim=None, num_graph=4,
+                    gcn_layers=1, pos_threshold=0.2, dataset_name="volleyball")
+    torch.manual_seed(0)
+    tm = ref_models.infer_model.ARG_volleyball(rcfg)
+    tm.eval()
+
+    cfg = _our_cfg(rcfg, inference_module_name="arg_volleyball")
+    model = build_model(cfg)
+    # dataset yields 9 frames at eval for ARG (volleyball.py:212-214)
+    rcfg9 = _ref_cfg(num_frames=9)
+    images, boxes = _make_inputs(rng, rcfg9, B=2)
+    images = np.round(images)
+    ij, bj = _jax_inputs(images, boxes)
+    variables = model.init(jax.random.PRNGKey(0), ij, bj, train=False)
+    variables = _backbone_graft(variables, tm.backbone, rcfg.backbone)
+    ported = {"embed": _embed_port(tm.fc_emb_1, rcfg.crop_size[0],
+                                   rcfg.emb_features, tm.nl_emb_1)}
+    with torch.no_grad():
+        want = tm(_torch_inputs(images, boxes))["activities"].numpy()
+
+    g = tm.gcn_list[0]
+    NG = rcfg.num_graph
+    ported["gcn_0"] = {
+        "theta_kernel": np.stack(
+            [_np(g.fc_rn_theta_list[i].weight).T for i in range(NG)]),
+        "theta_bias": np.stack(
+            [_np(g.fc_rn_theta_list[i].bias) for i in range(NG)]),
+        "phi_kernel": np.stack(
+            [_np(g.fc_rn_phi_list[i].weight).T for i in range(NG)]),
+        "phi_bias": np.stack(
+            [_np(g.fc_rn_phi_list[i].bias) for i in range(NG)]),
+        "gcn_kernel": np.stack(
+            [_np(g.fc_gcn_list[i].weight).T for i in range(NG)]),
+        "nl_gcn_scale": np.stack(
+            [_np(g.nl_gcn_list[i].weight) for i in range(NG)]),
+        "nl_gcn_bias": np.stack(
+            [_np(g.nl_gcn_list[i].bias) for i in range(NG)]),
+    }
+    ported["fc_activities"] = lin(tm.fc_activities)
+    variables = dict(variables, params=graft(variables["params"], ported))
+    with jax.default_matmul_precision("highest"):
+        out = model.apply(variables, ij, bj, train=False)
+    np.testing.assert_allclose(np.asarray(out["activities"]), want,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_higcin_volleyball_full_oracle(ref_models, rng):
+    """HiGCIN_volleyball end-to-end (infer_model.py:611-733): raw RoI
+    features -> BIM (T x K^2 body grid) -> avg pool -> PIM (T x N)."""
+    rcfg = _ref_cfg(backbone="res18", num_frames=3, lite_dim=None)
+    torch.manual_seed(0)
+    tm = ref_models.infer_model.HiGCIN_volleyball(rcfg)
+    _randomize_bn_stats(tm, seed=4)      # backbone + CrossInferBlock BNs
+    tm.eval()
+
+    cfg = _our_cfg(rcfg, inference_module_name="higcin_volleyball")
+    model = build_model(cfg)
+    images, boxes = _make_inputs(rng, rcfg, B=2)
+    images = np.round(images)
+    ij, bj = _jax_inputs(images, boxes)
+    variables = model.init(jax.random.PRNGKey(0), ij, bj, train=False)
+    variables = _backbone_graft(variables, tm.backbone, "res18")
+    with torch.no_grad():
+        want = tm(_torch_inputs(images, boxes))["activities"].numpy()
+
+    def cib(m):
+        return {"theta": lin(m.theta), "phi": lin(m.phi),
+                "fun_g": lin(m.fun_g), "W": lin(m.W),
+                "bn": {"scale": _np(m.bn.weight), "bias": _np(m.bn.bias)}}
+
+    def cib_stats(m):
+        return {"bn": {"mean": _np(m.bn.running_mean),
+                       "var": _np(m.bn.running_var)}}
+
+    ported = {"BIM": cib(tm.BIM), "PIM": cib(tm.PIM),
+              "fc_activities": lin(tm.fc_activities)}
+    variables = dict(
+        variables,
+        params=graft(variables["params"], ported),
+        # graft leaves the already-ported backbone stats untouched
+        batch_stats=graft(variables["batch_stats"],
+                          {"BIM": cib_stats(tm.BIM),
+                           "PIM": cib_stats(tm.PIM)}))
+    with jax.default_matmul_precision("highest"):
+        out = model.apply(variables, ij, bj, train=False)
+    np.testing.assert_allclose(np.asarray(out["activities"]), want,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_sacrf_biute_volleyball_full_oracle(ref_models, rng):
+    """SACRF_BiUTE_volleyball end-to-end (infer_model.py:1026-1131):
+    actions + activities + halting loss."""
+    rcfg = _ref_cfg(num_frames=3, lite_dim=None, num_features_boxes=32)
+    torch.manual_seed(0)
+    tm = ref_models.infer_model.SACRF_BiUTE_volleyball(rcfg)
+    tm.eval()
+    cfg, model, images, boxes, ij, bj, variables, ported = _stage2_common(
+        ref_models, rng, rcfg, "sacrf_biute_volleyball", tm)
+    with torch.no_grad():
+        want = tm(_torch_inputs(images, boxes))
+    s = tm.SACRF
+    ported["SACRF"] = {
+        "f_u": lin(s.f_u),
+        "spatial_att": dict(_att_block_port(s.spatial_att, 8),
+                            w=_np(s.spatial_att.w)),
+        "temporal_att": _att_block_port(s.temporal_att, 8),
+        "f_spatil_att": lin(s.f_spatil_att),
+        "f_temporal_att": lin(s.f_temporal_att),
+        "compatible_trans_s": lin(s.compatible_trans_s),
+        "compatible_trans_t": lin(s.compatible_trans_t),
+        "halt_fc": lin(s.halt_fc),
+    }
+    ported["BiUTE"] = {"q": lin(tm.BiUTE.q)}
+    ported["fc_activities"] = lin(tm.fc_activities)
+    variables = dict(variables, params=graft(variables["params"], ported))
+    with jax.default_matmul_precision("highest"):
+        out = model.apply(variables, ij, bj, train=False)
+    np.testing.assert_allclose(np.asarray(out["actions"]),
+                               want["actions"].numpy(), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["activities"]),
+                               want["activities"].numpy(),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(float(out["halting"]),
+                               float(want["halting"]), rtol=1e-3)
+
+
+def test_pctdm_volleyball_full_oracle(ref_models, rng):
+    """PCTDM_volleyball end-to-end (infer_model.py:472-608).  The reference
+    PCTDM hardcodes input_size=1024, so NFB=1024 here."""
+    rcfg = _ref_cfg(num_frames=2, lite_dim=None, num_features_boxes=1024)
+    torch.manual_seed(0)
+    tm = ref_models.infer_model.PCTDM_volleyball(rcfg)
+    tm.eval()
+    cfg, model, images, boxes, ij, bj, variables, ported = _stage2_common(
+        ref_models, rng, rcfg, "pctdm_volleyball", tm, B=1)
+    with torch.no_grad():
+        want = tm(_torch_inputs(images, boxes))["activities"].numpy()
+    ported["pctdm"] = {
+        "Bi_Lstm": {"fwd": lstm(tm.pctdm.Bi_Lstm),
+                    "bwd": lstm(tm.pctdm.Bi_Lstm, "_reverse")},
+        "att_source_weights": lin(tm.pctdm.att_source_weights[0]),
+        "att_context_weights": lin(tm.pctdm.att_context_weights[0]),
+        "att_extra_weights": lin(tm.pctdm.att_extra_weights[0]),
+        "Intra_Group_LSTM": lstm(tm.pctdm.Intra_Group_LSTM),
+    }
+    ported["pctdm_nl"] = {"ln": lnorm(tm.pctdm_nl)}
+    ported["fc_activities"] = lin(tm.fc_activities)
+    variables = dict(variables, params=graft(variables["params"], ported))
+    with jax.default_matmul_precision("highest"):
+        out = model.apply(variables, ij, bj, train=False)
+    np.testing.assert_allclose(np.asarray(out["activities"]), want,
+                               rtol=2e-3, atol=2e-3)
+
+
+def _gcn_port(g, NG):
+    return {
+        "theta_kernel": np.stack(
+            [_np(g.fc_rn_theta_list[i].weight).T for i in range(NG)]),
+        "theta_bias": np.stack(
+            [_np(g.fc_rn_theta_list[i].bias) for i in range(NG)]),
+        "phi_kernel": np.stack(
+            [_np(g.fc_rn_phi_list[i].weight).T for i in range(NG)]),
+        "phi_bias": np.stack(
+            [_np(g.fc_rn_phi_list[i].bias) for i in range(NG)]),
+        "gcn_kernel": np.stack(
+            [_np(g.fc_gcn_list[i].weight).T for i in range(NG)]),
+        "nl_gcn_scale": np.stack(
+            [_np(g.nl_gcn_list[i].weight) for i in range(NG)]),
+        "nl_gcn_bias": np.stack(
+            [_np(g.nl_gcn_list[i].bias) for i in range(NG)]),
+    }
+
+
+def test_dynamic_tce_volleyball_full_oracle(ref_models, rng):
+    """Dynamic_TCE_volleyball end-to-end (infer_model.py:237-468): trunk +
+    512-ch context sine PE + 4-head TCE cross-attention concat + Multi-DIN +
+    vgg16 readout.  person_mat_shape is hardcoded (10, 12) -> T=10, N=12."""
+    from test_reference_oracle import _tce_port
+    rcfg = _ref_cfg(lite_dim=None, ST_kernel_size=[(3, 3)], num_DIM=1)
+    torch.manual_seed(0)
+    tm = ref_models.infer_model.Dynamic_TCE_volleyball(rcfg)
+    _randomize_din(tm.DPI, seed=5)
+    tm.eval()
+    cfg, model, images, boxes, ij, bj, variables, ported = _stage2_common(
+        ref_models, rng, rcfg, "dynamic_tce_volleyball", tm, B=1)
+    with torch.no_grad():
+        want = tm(_torch_inputs(images, boxes))["activities"].numpy()
+    mh = tm.multilayer_head_embfeature_context_encoding
+    ported["tce"] = {f"CET_0_{j}": _tce_port(mh.CET[j], 1) for j in range(4)}
+    ported["DPI"] = {"DIM_0": _din_port(tm.DPI.DIMlist[0],
+                                        rcfg.sampling_ratio, beta=True)}
+    ported["dpi_nl"] = {"ln": lnorm(tm.dpi_nl)}
+    ported["fc_activities"] = lin(tm.fc_activities)
+    variables = dict(variables, params=graft(variables["params"], ported))
+    with jax.default_matmul_precision("highest"):
+        out = model.apply(variables, ij, bj, train=False)
+    np.testing.assert_allclose(np.asarray(out["activities"]), want,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_gcnnet_volleyball_full_oracle(ref_models, rng):
+    """Legacy GCNnet_volleyball end-to-end (gcn_model.py:89-253): actions +
+    activities heads, GCN residual, eval-time 3-crop averaging."""
+    sys.path.insert(0, _REF)
+    try:
+        gcn_model = importlib.import_module("gcn_model")
+    finally:
+        sys.path.remove(_REF)
+    rcfg = _ref_cfg(num_frames=3, lite_dim=None, num_graph=4, gcn_layers=1,
+                    pos_threshold=0.2, dataset_name="volleyball")
+    torch.manual_seed(0)
+    tm = gcn_model.GCNnet_volleyball(rcfg)
+    tm.eval()
+
+    cfg = _our_cfg(rcfg, inference_module_name="gcnnet_volleyball")
+    model = build_model(cfg)
+    rcfg9 = _ref_cfg(num_frames=9)
+    images, boxes = _make_inputs(rng, rcfg9, B=2)
+    images = np.round(images)
+    ij, bj = _jax_inputs(images, boxes)
+    variables = model.init(jax.random.PRNGKey(0), ij, bj, train=False)
+    variables = _backbone_graft(variables, tm.backbone, rcfg.backbone)
+    ported = {
+        "embed": _embed_port(tm.fc_emb_1, rcfg.crop_size[0],
+                             rcfg.emb_features, tm.nl_emb_1),
+        "gcn_0": _gcn_port(tm.gcn_list[0], rcfg.num_graph),
+        "fc_actions": lin(tm.fc_actions),
+        "fc_activities": lin(tm.fc_activities),
+    }
+    with torch.no_grad():
+        want_actions, want_acts = tm(_torch_inputs(images, boxes))
+    variables = dict(variables, params=graft(variables["params"], ported))
+    with jax.default_matmul_precision("highest"):
+        out = model.apply(variables, ij, bj, train=False)
+    np.testing.assert_allclose(np.asarray(out["actions"]),
+                               want_actions.numpy(), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["activities"]),
+                               want_acts.numpy(), rtol=2e-3, atol=2e-3)
