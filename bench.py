@@ -89,7 +89,15 @@ def _log(obj):
 
 def _compiled_flops(step, *args) -> float:
     try:
-        analysis = step.lower(*args).compile().cost_analysis()
+        return _analysis_flops(step.lower(*args).compile())
+    except Exception as e:  # pragma: no cover - cost analysis best-effort
+        _log({"metric": "cost_analysis_error", "error": str(e)[:200]})
+        return float("nan")
+
+
+def _analysis_flops(compiled) -> float:
+    try:
+        analysis = compiled.cost_analysis()
         if isinstance(analysis, list):
             analysis = analysis[0]
         return float(dict(analysis or {}).get("flops", float("nan")))
@@ -167,6 +175,23 @@ def _build_step(cfg):
     return step, state, batch
 
 
+def _chunk_correction(cfg):
+    """Extra flops from the scan body running (num_chunks - 1) more times
+    than XLA cost analysis counts it."""
+    from din_tpu.models.trunk import Trunk
+
+    n_frames = cfg.batch_size * cfg.num_frames
+    chunk = Trunk(backbone=cfg.backbone, out_size=tuple(cfg.out_size),
+                  crop_size=tuple(cfg.crop_size),
+                  train_backbone=cfg.train_backbone,
+                  frame_chunk=cfg.frame_chunk)._auto_chunk(
+        n_frames, *cfg.image_size)
+    num_chunks = n_frames // chunk
+    if num_chunks > 1 and cfg.train_backbone:
+        return (num_chunks - 1) * _backbone_body_flops(cfg, chunk)
+    return 0.0
+
+
 def _step_flops(cfg, step, state, dbatch):
     """Corrected compiled-HLO flops of the step (scan body x trip count)."""
     from din_tpu.models.trunk import Trunk
@@ -185,18 +210,28 @@ def _step_flops(cfg, step, state, dbatch):
 
 
 def _bench_train_step(cfg, warmup=3, iters=10):
-    """Build + time the full train step for cfg; returns (dt, flops)."""
+    """Build + time the full train step for cfg.
+
+    Returns (dt, loss, flops_fn): the step runs through plain jit — ONE
+    compile before the timing loop, and the executable is written to the
+    persistent compilation cache (_enable_compile_cache) so the driver's
+    own bench run can reuse it.  ``flops_fn()`` lazily computes the
+    corrected compiled-HLO flops: its AOT lowering of the same program hits
+    the just-warmed compilation cache, and deferring it keeps every
+    compile except the essential one behind the primary emit.
+    """
     import jax
 
-    step, state, batch = _build_step(cfg)
+    step, state0, batch = _build_step(cfg)
     dbatch = jax.device_put(batch)
-    flops = _step_flops(cfg, step, state, dbatch)
-
-    state, metrics = step(state, dbatch)
+    t0 = time.perf_counter()
+    state, metrics = step(state0, dbatch)
     # NOTE: device->host transfer (float()) is the sync point; the remote
     # device tunnel used in this environment does not honour
     # block_until_ready reliably.
     _ = float(metrics["loss"])
+    _log({"metric": "compile_s", "value": round(time.perf_counter() - t0, 1),
+          "recipe": "%s/%s" % (cfg.backbone, cfg.inference_module_name)})
     for _i in range(warmup):
         state, metrics = step(state, dbatch)
     _ = float(metrics["loss"])
@@ -205,7 +240,11 @@ def _bench_train_step(cfg, warmup=3, iters=10):
         state, metrics = step(state, dbatch)
     _ = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
-    return dt, flops, float(metrics["loss"])
+
+    def flops_fn():
+        return _compiled_flops(step, state0, dbatch) + _chunk_correction(cfg)
+
+    return dt, float(metrics["loss"]), flops_fn
 
 
 def _flagship():
@@ -216,18 +255,26 @@ def _flagship():
     # throughput config: batch 4 clips (40 frames), 8-frame backbone
     # micro-batches (sublane-aligned, fits HBM with remat)
     cfg = _flagship_cfg(tiny=False).replace(batch_size=4, frame_chunk=8)
-    dt, flops, loss = _bench_train_step(cfg)
+    dt, loss, flops_fn = _bench_train_step(cfg)
     clips = cfg.batch_size / dt
-    mfu = flops / dt / V5E_BF16_PEAK
     _log({"metric": "flagship_loss", "value": loss})
+
+    def fill_mfu(primary):
+        # exact flops = cache-hot AOT relowering + the scan-body correction
+        # compile; deferred behind the first primary emit so a slow tunnel
+        # cannot cost the round its headline number
+        try:
+            flops = flops_fn()
+            primary["mfu"] = round(flops / dt / V5E_BF16_PEAK, 4)
+            primary["hlo_tflop"] = round(flops / 1e12, 3)
+        except Exception as e:
+            _log({"metric": "mfu_error", "error": str(e)[:200]})
 
     def mfu_useful():
         # useful-MFU: the folded stem executes 2x structural-zero stem
         # flops, so the executed-HLO MFU overstates useful work.  Count the
         # CANONICAL program's flops against the same dt (costs a second
         # model build + compile; the canonical program is never stepped).
-        # Deferred behind the primary emit: over a slow tunnel this compile
-        # must not be able to cost the round its headline number.
         try:
             ccfg = cfg.replace(folded_stem=False)
             cstep, cstate, cbatch = _build_step(ccfg)
@@ -237,16 +284,16 @@ def _flagship():
             _log({"metric": "mfu_useful_error", "error": str(e)[:200]})
             return float("nan")
 
-    return cfg, clips, mfu_useful, {
+    return cfg, clips, fill_mfu, mfu_useful, {
         "metric": "train_clips_per_sec_din_vgg16_t10_bs%d" % cfg.batch_size,
         "value": round(clips, 3),
         "unit": "clips/sec/chip",
         "vs_baseline": round(clips / TITAN_RTX_CLIPS_PER_SEC_EST, 3),
         "vs_baseline_basis": VS_BASELINE_BASIS,
-        "mfu": round(mfu, 4),
+        "mfu": float("nan"),            # filled in by main() post-emit
         "mfu_useful": float("nan"),     # filled in by main() post-emit
         "step_ms": round(dt * 1e3, 1),
-        "hlo_tflop": round(flops / 1e12, 3),
+        "hlo_tflop": float("nan"),      # filled in by main() post-emit
     }
 
 
@@ -377,7 +424,7 @@ def _secondary_recipes():
          lambda: PRESETS["collective_stage2_dynamic"]().replace(
              batch_size=4, frame_chunk=8)),
         # stage-1 volleyball inv3 at 87x157 (scripts/train_volleyball_stage1.py)
-        ("train_clips_per_sec_stage1_inv3_bs4",
+        ("train_clips_per_sec_stage1_vgg16_bs4",
          lambda: PRESETS["volleyball_stage1"]().replace(
              batch_size=4, frame_chunk=6)),
         # HiGCIN stage-2 (K=7 cross-infer blocks)
@@ -390,15 +437,17 @@ def _secondary_recipes():
             continue
         try:
             cfg = make_cfg()
-            dt, flops, _ = _bench_train_step(cfg, warmup=1, iters=3)
+            dt, _, flops_fn = _bench_train_step(cfg, warmup=1, iters=3)
             frames_per_clip = cfg.num_frames
             clips = cfg.batch_size / dt
             # stage-1 samples single frames in the reference; here T frames
             # per clip either way — report clips/sec at this T
-            _log({"metric": name, "value": round(clips, 3),
-                  "unit": "clips/sec/chip (T=%d)" % frames_per_clip,
-                  "step_ms": round(dt * 1e3, 1),
-                  "mfu": round(flops / dt / V5E_BF16_PEAK, 4)})
+            rec = {"metric": name, "value": round(clips, 3),
+                   "unit": "clips/sec/chip (T=%d)" % frames_per_clip,
+                   "step_ms": round(dt * 1e3, 1)}
+            if _time_left(180, name + "_mfu"):
+                rec["mfu"] = round(flops_fn() / dt / V5E_BF16_PEAK, 4)
+            _log(rec)
         except Exception as e:
             _log({"metric": name, "error": str(e)[:300]})
 
@@ -488,14 +537,37 @@ def _roi_align_check():
               "times_ms": {k: round(v * 1e3, 3) for k, v in times.items()}})
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache under the repo: flagship-size
+    programs can take many minutes to compile over this environment's
+    remote-device tunnel, and the driver's bench run repeats the exact
+    programs this session already compiled.  Best-effort (remote backends
+    may not support it)."""
+    try:
+        import jax
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   os.path.join(os.path.dirname(
+                                       os.path.abspath(__file__)),
+                                       ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # pragma: no cover
+        _log({"metric": "compile_cache_error", "error": str(e)[:200]})
+
+
 def main():
-    cfg, clips, mfu_useful_fn, primary = _flagship()
+    _enable_compile_cache()
+    cfg, clips, fill_mfu_fn, mfu_useful_fn, primary = _flagship()
     # emit the primary metric IMMEDIATELY (flushed): if anything below runs
     # past the driver's timeout, the number is already on stdout.  The same
     # line is printed again at the end — the driver reads the last parseable
     # stdout line, so the early duplicate costs nothing (BENCH_r02 lesson).
     print(_dumps(primary), flush=True)
-    if _time_left(240, "mfu_useful"):
+    if _time_left(300, "mfu"):
+        fill_mfu_fn(primary)
+        print(_dumps(primary), flush=True)
+    if _time_left(300, "mfu_useful"):
         primary["mfu_useful"] = round(mfu_useful_fn(), 4)
         print(_dumps(primary), flush=True)
     if os.environ.get("DIN_TPU_BENCH_FAST") != "1":
