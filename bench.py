@@ -302,7 +302,7 @@ class _JpegClips:
     __getitem__ decodes T real 720x1280 JPEG files through the native
     batch decoder (din_tpu/native) exactly like the real datasets."""
 
-    def __init__(self, tmpdir, cfg, n_clips=16, pool=12):
+    def __init__(self, tmpdir, cfg, n_clips=16, pool=12, cache=None):
         import numpy as np
         from PIL import Image
 
@@ -322,6 +322,7 @@ class _JpegClips:
             Image.fromarray(img.astype("uint8")).save(p, quality=90)
             self.paths.append(p)
         self._rng = rng
+        self.cache = cache
 
     def __len__(self):
         return self.n_clips
@@ -335,7 +336,10 @@ class _JpegClips:
         cfg = self.cfg
         T = cfg.num_frames
         paths = [self.paths[(i + t) % len(self.paths)] for t in range(T)]
-        images = native.load_frames(paths, *cfg.image_size)
+        if self.cache is not None:
+            images = self.cache.load_frames(paths, *cfg.image_size)
+        else:
+            images = native.load_frames(paths, *cfg.image_size)
         proto = _make_batch(cfg, batch_size=1,
                             rng=np.random.RandomState(i))
         return {"images": images,
@@ -485,6 +489,27 @@ def _loader_decode_scaling(cfg):
                       % (cfg.num_frames, *cfg.image_size),
               "host_cores": cores,
               "clips_per_sec_by_workers": rates})
+        if _time_left(60, "decode_cache_rate"):
+            # steady-state epochs with the decoded-frame LRU cache
+            # (cfg.decode_cache_mb, din_tpu/data/cache.py): epoch 1 fills,
+            # epoch 2+ skips decode entirely
+            from din_tpu.data.cache import FrameCache
+            cds = _JpegClips(tmpdir, cfg, n_clips=4 * cfg.batch_size,
+                             cache=FrameCache(budget_mb=256))
+            loader = BatchLoader(cds, cfg.batch_size, shuffle=False,
+                                 num_workers=min(4, cores))
+            for _b in iter(loader):
+                pass                               # fill epoch
+            t0 = time.perf_counter()
+            n = 0
+            for _b in iter(loader):
+                n += cfg.batch_size
+            _log({"metric": "loader_clips_per_sec_cached",
+                  "value": round(n / (time.perf_counter() - t0), 3),
+                  "unit": "clips/sec (host, warm decode cache)",
+                  "cache_hit_rate": round(
+                      cds.cache.hits / max(1, cds.cache.hits
+                                           + cds.cache.misses), 3)})
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
 

@@ -133,6 +133,8 @@ class Config:
     pretrained_backbone_path: Optional[str] = None  # torch state_dict file (optional)
     result_root: str = "result"
     num_workers: int = 4                 # host decode threads
+    decode_cache_mb: int = 0             # decoded-frame LRU budget (0 = off;
+    # ~2.7 MB per 720p frame — data/cache.py)
     donate_step_buffers: bool = True
     measure_mad: bool = False            # MAD diagnostics on DIN eval
     profile_dir: Optional[str] = None    # jax.profiler trace output dir

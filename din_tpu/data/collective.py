@@ -84,7 +84,7 @@ class CollectiveDataset:
 
     def __init__(self, anns, frames, images_path, image_size, feature_size,
                  num_boxes=13, num_frames=10, is_training=True,
-                 is_finetune=False, seed=0):
+                 is_finetune=False, seed=0, cache=None):
         self.anns = anns
         self.frames = list(frames)
         self.images_path = images_path
@@ -95,6 +95,7 @@ class CollectiveDataset:
         self.is_training = is_training
         self.is_finetune = is_finetune
         self.rng = random.Random(seed)
+        self.cache = cache          # din_tpu/data/cache.py FrameCache | None
 
     def __len__(self):
         return len(self.frames)
@@ -114,6 +115,8 @@ class CollectiveDataset:
         paths = [os.path.join(self.images_path, "seq%02d" % sid,
                               "frame%04d.jpg" % fid)
                  for (sid, _src, fid) in select]
+        if self.cache is not None:
+            return self.cache.load_frames(paths, *self.image_size)
         return native.load_frames(paths, self.image_size[0],
                                   self.image_size[1])
 

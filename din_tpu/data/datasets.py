@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from din_tpu.data.cache import make_cache
 from din_tpu.data.collective import (CollectiveDataset,
                                      collective_all_frames,
                                      collective_read_dataset)
@@ -29,7 +30,8 @@ def return_dataset(cfg):
                       inference_module_name=cfg.inference_module_name,
                       num_boxes=cfg.num_boxes, num_before=cfg.num_before,
                       num_after=cfg.num_after,
-                      is_finetune=(cfg.training_stage == 1))
+                      is_finetune=(cfg.training_stage == 1),
+                      cache=make_cache(cfg))  # one budget for train+val
         return (VolleyballDataset(frames=train_frames, is_training=True,
                                   **common),
                 VolleyballDataset(frames=test_frames, is_training=False,
@@ -43,7 +45,8 @@ def return_dataset(cfg):
         common = dict(images_path=cfg.data_path, image_size=cfg.image_size,
                       feature_size=cfg.out_size, num_boxes=cfg.num_boxes,
                       num_frames=cfg.num_frames,
-                      is_finetune=(cfg.training_stage == 1))
+                      is_finetune=(cfg.training_stage == 1),
+                      cache=make_cache(cfg))  # one budget for train+val
         return (CollectiveDataset(anns=train_anns, frames=train_frames,
                                   is_training=True, **common),
                 CollectiveDataset(anns=test_anns, frames=test_frames,

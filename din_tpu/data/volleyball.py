@@ -90,7 +90,7 @@ class VolleyballDataset:
     def __init__(self, anns, tracks, frames, images_path, image_size,
                  feature_size, inference_module_name, num_boxes=12,
                  num_before=4, num_after=4, is_training=True,
-                 is_finetune=False, seed=0):
+                 is_finetune=False, seed=0, cache=None):
         self.anns = anns
         self.tracks = tracks
         self.frames = list(frames)
@@ -104,6 +104,7 @@ class VolleyballDataset:
         self.is_training = is_training
         self.is_finetune = is_finetune
         self.rng = random.Random(seed)
+        self.cache = cache          # din_tpu/data/cache.py FrameCache | None
 
     def __len__(self):
         return len(self.frames)
@@ -134,6 +135,8 @@ class VolleyballDataset:
         from din_tpu import native
         paths = [os.path.join(self.images_path, str(sid), str(src_fid),
                               f"{fid}.jpg") for (sid, src_fid, fid) in select]
+        if self.cache is not None:
+            return self.cache.load_frames(paths, *self.image_size)
         return native.load_frames(paths, self.image_size[0],
                                   self.image_size[1])
 

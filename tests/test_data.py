@@ -33,7 +33,7 @@ def _write_volleyball_fixture(root, sid=0, fids=(10, 20)):
             d = os.path.join(vdir, str(fid))
             os.makedirs(d, exist_ok=True)
             Image.fromarray(
-                np.zeros((24, 32, 3), np.uint8)).save(
+                np.full((24, 32, 3), (f * 7) % 255, np.uint8)).save(
                     os.path.join(d, f"{f}.jpg"))
             ftracks[f] = np.tile(np.array([[0.1, 0.2, 0.5, 0.4]]), (3, 1))
         tracks[(sid, fid)] = ftracks
@@ -147,3 +147,45 @@ def test_batch_loader_shapes():
     order1 = [b["activities"][:, 0].tolist() for b in loader]
     order2 = [b["activities"][:, 0].tolist() for b in loader]
     assert len(order1) == len(order2) == 2
+
+
+def test_frame_cache(tmp_path):
+    """Decoded-frame LRU cache: identical outputs, hit accounting across
+    epochs, byte-budget eviction (din_tpu/data/cache.py)."""
+    from din_tpu.data.cache import FrameCache, make_cache
+
+    tracks = _write_volleyball_fixture(str(tmp_path))
+    anns = volley_read_annotations(str(tmp_path / "0" / "annotations.txt"))
+    common = dict(anns={0: anns}, tracks=tracks, frames=[(0, 10), (0, 20)],
+                  images_path=str(tmp_path), image_size=(24, 32),
+                  feature_size=(2, 3), num_boxes=12,
+                  inference_module_name="dynamic_volleyball",
+                  is_training=False, is_finetune=False)
+    plain = VolleyballDataset(**common)
+    cache = FrameCache(budget_mb=64)
+    cached = VolleyballDataset(cache=cache, **common)
+
+    for i in range(2):
+        np.testing.assert_array_equal(plain[i]["images"],
+                                      cached[i]["images"])
+    assert cache.misses == 18 and cache.hits == 0       # 2 clips x 9 frames
+    # epoch 2: all hits, still identical
+    for i in range(2):
+        np.testing.assert_array_equal(plain[i]["images"],
+                                      cached[i]["images"])
+    assert cache.hits == 18 and cache.misses == 18
+    assert len(cache) == 18 and cache.nbytes == 18 * 24 * 32 * 3
+
+    # eviction: budget for ~6 frames of 24x32x3 (2304 B each)
+    small = FrameCache(budget_mb=6 * 2304 / (1 << 20))
+    tiny = VolleyballDataset(cache=small, **common)
+    _ = tiny[0]
+    assert len(small) == 6              # 9 decoded, LRU-evicted down to 6
+    assert small.nbytes <= small.budget_bytes
+    _ = tiny[0]                         # re-read: mostly misses again
+    assert small.misses > 9
+
+    # make_cache knob
+    assert make_cache(Config("volleyball")) is None
+    assert make_cache(Config("volleyball").replace(
+        decode_cache_mb=32)).budget_bytes == 32 << 20
