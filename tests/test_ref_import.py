@@ -1,0 +1,82 @@
+"""Reference-checkpoint migration: .pth files written by the reference
+framework load directly into din_tpu models (din_tpu/nn/ref_import.py).
+
+Round-trips actual ``torch.save`` artifacts in both reference formats —
+the stage-1 component file (base_model.py:46-54) and the full-model
+``state_dict`` file (train_net.py:120-127) — and checks the grafted flax
+model reproduces the torch model's logits.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+
+from test_full_model_oracle import (_jax_inputs, _make_inputs,  # noqa: E402
+                                    _our_cfg, _ref_cfg, _randomize_din,
+                                    _torch_inputs, ref_models)
+
+from din_tpu.models.registry import build_model  # noqa: E402
+from din_tpu.nn.ref_import import load_reference_checkpoint  # noqa: E402
+
+
+def test_full_model_state_dict_import(ref_models, rng, tmp_path):
+    """train_net.py full-checkpoint format -> flagship Dynamic_volleyball."""
+    rcfg = _ref_cfg()
+    torch.manual_seed(0)
+    tm = ref_models.infer_model.Dynamic_volleyball(rcfg)
+    _randomize_din(tm.DPI, seed=1)
+    tm.eval()
+    path = str(tmp_path / "stage2_epoch7.pth")
+    torch.save({"epoch": 7, "state_dict": tm.state_dict(),
+                "optimizer": {}}, path)
+
+    images, boxes = _make_inputs(rng, rcfg)
+    images = np.round(images)
+    with torch.no_grad():
+        want = tm(_torch_inputs(images, boxes))["activities"].numpy()
+
+    cfg = _our_cfg(rcfg)
+    model = build_model(cfg)
+    ij, bj = _jax_inputs(images, boxes)
+    variables = model.init(jax.random.PRNGKey(0), ij, bj, train=False)
+    variables, skipped = load_reference_checkpoint(variables, path, cfg)
+    assert skipped == []                 # every tensor recognised
+    with jax.default_matmul_precision("highest"):
+        out = model.apply(variables, ij, bj, train=False)
+    np.testing.assert_allclose(np.asarray(out["activities"]), want,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_stage1_component_import(ref_models, rng, tmp_path):
+    """base_model.py savemodel component format -> stage-1 Basenet."""
+    rcfg = _ref_cfg(num_frames=3, num_features_boxes=32, lite_dim=None)
+    torch.manual_seed(0)
+    tm = ref_models.base_model.Basenet_volleyball(rcfg)
+    tm.eval()
+    path = str(tmp_path / "stage1_epoch3.pth")
+    torch.save({"backbone_state_dict": tm.backbone.state_dict(),
+                "fc_emb_state_dict": tm.fc_emb.state_dict(),
+                "fc_actions_state_dict": tm.fc_actions.state_dict(),
+                "fc_activities_state_dict": tm.fc_activities.state_dict()},
+               path)
+
+    images, boxes = _make_inputs(rng, rcfg)
+    images = np.round(images)
+    with torch.no_grad():
+        want_actions, want_acts = tm(_torch_inputs(images, boxes))
+
+    cfg = _our_cfg(rcfg, training_stage=1, lite_dim=None)
+    model = build_model(cfg)
+    ij, bj = _jax_inputs(images, boxes)
+    variables = model.init(jax.random.PRNGKey(0), ij, bj, train=False)
+    variables, skipped = load_reference_checkpoint(variables, path, cfg)
+    assert skipped == []
+    with jax.default_matmul_precision("highest"):
+        out = model.apply(variables, ij, bj, train=False)
+    np.testing.assert_allclose(np.asarray(out["actions"]),
+                               want_actions.numpy(), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["activities"]),
+                               want_acts.numpy(), rtol=2e-3, atol=2e-3)
