@@ -107,6 +107,11 @@ class Config:
     num_DIM: int = 1
     load_stage2model: bool = False
     stage2model: Optional[str] = None
+    # Migration: a .pth checkpoint written BY THE REFERENCE framework
+    # (either its stage-1 component or full-model format) to graft into
+    # the initialised variables via nn/ref_import.py.  Applied before the
+    # din_tpu-native stage-1/stage-2 loaders.
+    ref_checkpoint_path: str = ""
 
     # Actor Transformer (reference: config.py:99-100)
     temporal_pooled_first: bool = False

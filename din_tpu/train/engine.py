@@ -216,6 +216,15 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
 
     # weight loading (train_net_dynamic.py:75-93)
     start_epoch, resumed_opt = 1, None
+    if getattr(cfg, "ref_checkpoint_path", ""):
+        # migration path: graft a checkpoint saved by the reference
+        # framework (either .pth format — nn/ref_import.py)
+        from din_tpu.nn.ref_import import load_reference_checkpoint
+        variables, skipped = load_reference_checkpoint(
+            variables, cfg.ref_checkpoint_path, cfg, verbose=False)
+        print_log(cfg.log_path,
+                  "Loaded reference checkpoint %s (%d keys skipped)"
+                  % (cfg.ref_checkpoint_path, len(skipped)))
     if cfg.training_stage == 2:
         if cfg.load_backbone_stage2 and cfg.stage1_model_path:
             variables = ckpt_lib.load_backbone_stage2(

@@ -143,3 +143,38 @@ def test_loss_decreases_on_learnable_synthetic(tmp_path):
                     float(nxt.split("Loss: ")[1].split(",")[0]))
     assert len(train_losses) >= 3
     assert train_losses[-1] < train_losses[0]
+
+
+def test_engine_ref_checkpoint_graft(tmp_path):
+    """cfg.ref_checkpoint_path grafts a reference-framework .pth (full
+    state_dict format, train_net.py:120-127) into the model before
+    training; the grafted head weights must actually land in the step."""
+    torch = pytest.importorskip("torch")
+    import jax
+    from din_tpu.models.registry import build_model
+
+    cfg = _smoke_cfg(tmp_path, exp_note="smoke_refckpt")
+    # discover the real head shapes from an init, then fabricate a
+    # reference checkpoint carrying a recognisable fc_activities
+    model = build_model(cfg)
+    from din_tpu.data.datasets import return_dataset
+    from din_tpu.data.loader import BatchLoader
+    train_set, _ = return_dataset(cfg)
+    sample = next(iter(BatchLoader(train_set, cfg.batch_size,
+                                   shuffle=False, num_workers=1)))
+    from din_tpu.train.engine import init_model
+    variables = init_model(cfg, model, sample)
+    kern = np.asarray(variables["params"]["fc_activities"]["kernel"])
+    w = np.full(kern.T.shape, 0.0625, np.float32)
+    b = np.arange(kern.shape[1], dtype=np.float32) / 64.0
+    path = str(tmp_path / "ref_stage2.pth")
+    torch.save({"epoch": 1,
+                "state_dict": {"fc_activities.weight": torch.tensor(w),
+                               "fc_activities.bias": torch.tensor(b)},
+                "optimizer": {}}, path)
+
+    cfg2 = cfg.replace(ref_checkpoint_path=path)
+    best = train_net(cfg2, max_steps_per_epoch=1)
+    assert "activities_acc" in best
+    log = open(os.path.join(cfg2.result_path, "log.txt")).read()
+    assert "Loaded reference checkpoint" in log and "0 keys skipped" in log
