@@ -18,6 +18,9 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--max-steps-per-epoch", type=int, default=None)
     parser.add_argument("--stage1-model-path", default=None)
+    parser.add_argument("--ref-checkpoint-path", default=None,
+                        help=".pth saved by the reference framework to "
+                             "graft in (nn/ref_import.py)")
     args = parser.parse_args(argv)
 
     cfg = PRESETS[args.preset]()
@@ -30,6 +33,8 @@ def main(argv=None):
         overrides["batch_size"] = args.batch_size
     if args.stage1_model_path:
         overrides["stage1_model_path"] = args.stage1_model_path
+    if args.ref_checkpoint_path:
+        overrides["ref_checkpoint_path"] = args.ref_checkpoint_path
     if overrides:
         cfg = cfg.replace(**overrides)
     best = train_net(cfg, max_steps_per_epoch=args.max_steps_per_epoch)
