@@ -15,10 +15,11 @@ recognised tensor into a din_tpu variables tree (converted to NHWC/flax
 layouts via nn/torch_port.py), so models trained with the reference can be
 evaluated or fine-tuned here directly.  The state-dict converter covers
 the trunk surface shared by all models (backbone / fc_emb_1 / nl_emb_1)
-plus the flagship DIN family heads (Dynamic_volleyball lite + plain,
-Multi-DIN — infer_model.py:20-140); unrecognised keys are returned in the
-report rather than failing, mirroring the reference's tolerant
-``loadpart``.
+plus every head family: DIN (plain/Multi, infer_model.py:20-140), AT
+(:736-867), ARG / legacy GCNnet (:870-1023, gcn_model.py:89-253), HiGCIN
+(:611-733), SACRF+BiUTE (:1026-1131), PCTDM (:472-608) and TCE
+(:237-468); unrecognised keys are returned in the report rather than
+failing, mirroring the reference's tolerant ``loadpart``.
 """
 
 from __future__ import annotations
@@ -72,6 +73,93 @@ def _convert_din(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return out
 
 
+def _lin_g(g, name):
+    return _lin(g[f"{name}.weight"], g.get(f"{name}.bias"))
+
+
+def _ln_g(g, name):
+    return _ln(g[f"{name}.weight"], g[f"{name}.bias"])
+
+
+def _lstm_g(g, prefix, suffix=""):
+    """torch nn.LSTM flat keys (one direction) -> TorchLSTM dict."""
+    return {
+        "kernel_i": np.asarray(g[f"{prefix}.weight_ih_l0{suffix}"]).T,
+        "kernel_h": np.asarray(g[f"{prefix}.weight_hh_l0{suffix}"]).T,
+        "bias": np.asarray(g[f"{prefix}.bias_ih_l0{suffix}"])
+        + np.asarray(g[f"{prefix}.bias_hh_l0{suffix}"]),
+    }
+
+
+def _convert_att_block(g):
+    """SACRF attention block (SACRF_BiUTE_infer_module.py:178-258):
+    attlist ModuleList of {theta, phi, fun_g} + W_out/LN/FFN."""
+    n_att = 1 + max(int(k.split(".")[1]) for k in g
+                    if k.startswith("attlist."))
+    out = {f"att_{i}": {"theta": _lin_g(g, f"attlist.{i}.theta"),
+                        "phi": _lin_g(g, f"attlist.{i}.phi"),
+                        "fun_g": _lin_g(g, f"attlist.{i}.fun_g")}
+           for i in range(n_att)}
+    out.update({"W_out": _lin_g(g, "W_out"),
+                "layernorm1": _ln_g(g, "layernorm1"),
+                "FFN_linear1": _lin_g(g, "FFN_linear1"),
+                "FFN_linear2": _lin_g(g, "FFN_linear2")})
+    if "w" in g:                        # spatial_att position kernel
+        out["w"] = np.asarray(g["w"])
+    return out
+
+
+def _convert_gcn_layer(g):
+    """One ARG GCN_Module (gcn_model.py:12-86): per-graph ModuleLists ->
+    the stacked [NG, ...] arrays our masked-batch head consumes."""
+    ng = 1 + max(int(k.split(".")[1]) for k in g
+                 if k.startswith("fc_rn_theta_list."))
+    stack = lambda fmt: np.stack([np.asarray(g[fmt.format(i)])
+                                  for i in range(ng)])
+    return {
+        "theta_kernel": stack("fc_rn_theta_list.{}.weight").transpose(0, 2, 1),
+        "theta_bias": stack("fc_rn_theta_list.{}.bias"),
+        "phi_kernel": stack("fc_rn_phi_list.{}.weight").transpose(0, 2, 1),
+        "phi_bias": stack("fc_rn_phi_list.{}.bias"),
+        "gcn_kernel": stack("fc_gcn_list.{}.weight").transpose(0, 2, 1),
+        "nl_gcn_scale": stack("nl_gcn_list.{}.weight"),
+        "nl_gcn_bias": stack("nl_gcn_list.{}.bias"),
+    }
+
+
+def _convert_cib(g):
+    """HiGCIN CrossInferBlock (higcin_infer_module.py): params + bn stats."""
+    params = {"theta": _lin_g(g, "theta"), "phi": _lin_g(g, "phi"),
+              "fun_g": _lin_g(g, "fun_g"), "W": _lin_g(g, "W"),
+              "bn": {"scale": np.asarray(g["bn.weight"]),
+                     "bias": np.asarray(g["bn.bias"])}}
+    stats = {"bn": {"mean": np.asarray(g["bn.running_mean"]),
+                    "var": np.asarray(g["bn.running_var"])}}
+    return params, stats
+
+
+def _convert_tce(g, num_heads=4):
+    """MultiHeadLayerEmbfeatureContextEncoding (TCE_STBiP_module.py:224-312):
+    CET ModuleList of layers*heads encoders; CET[i*heads+j] -> CET_{i}_{j},
+    layer 0 uses ``downsample2`` (1x1 conv as Dense), deeper ``downsample``."""
+    n = 1 + max(int(k.split(".")[1]) for k in g if k.startswith("CET."))
+    out = {}
+    for k in range(n):
+        c = _group(g, f"CET.{k}.")
+        i, j = divmod(k, num_heads)
+        ds = "downsample2" if i == 0 else "downsample"
+        out[f"CET_{i}_{j}"] = {
+            "downsample": {
+                "kernel": np.asarray(c[f"{ds}.weight"])[:, :, 0, 0].T,
+                "bias": np.asarray(c[f"{ds}.bias"])},
+            "emb_roi": _lin_g(c, "emb_roi"),
+            "layernorm1": _ln_g(c, "layernorm1"),
+            "layernorm2": _ln_g(c, "layernorm2"),
+            "FFN_1": _lin_g(c, "FFN.0"), "FFN_2": _lin_g(c, "FFN.3"),
+        }
+    return out
+
+
 def convert_model_state(flat: Dict[str, np.ndarray], cfg
                         ) -> Tuple[Dict[str, Any], List[str]]:
     """Flat reference ``model.state_dict()`` -> nested din_tpu variables
@@ -110,11 +198,73 @@ def convert_model_state(flat: Dict[str, np.ndarray], cfg
             params["DPI"] = _convert_din(dpi)
         used |= {"DPI." + k for k in dpi}
 
-    for tln in ("dpi_nl", "point_ln"):          # 3-axis TorchLayerNorm
+    for tln in ("dpi_nl", "point_ln", "pctdm_nl"):  # 3-axis TorchLayerNorm
         if f"{tln}.weight" in flat:
             params[tln] = {"ln": _ln(flat[f"{tln}.weight"],
                                      flat[f"{tln}.bias"])}
             used |= {f"{tln}.weight", f"{tln}.bias"}
+
+    head_stats: Dict[str, Any] = {}
+
+    at = _group(flat, "AT.")                    # Actor Transformer
+    if at:
+        params["AT"] = {
+            "Q_W": _lin_g(at, "Q_W"), "K_W": _lin_g(at, "K_W"),
+            "V_W": _lin_g(at, "V_W"),
+            "layernorm1": _ln_g(at, "layernorm1"),
+            "layernorm2": _ln_g(at, "layernorm2"),
+            "FFN_linear1": _lin_g(at, "FFN_linear1"),
+            "FFN_linear2": _lin_g(at, "FFN_linear2")}
+        used |= {"AT." + k for k in at}
+
+    sacrf = _group(flat, "SACRF.")
+    if sacrf:
+        params["SACRF"] = {
+            "f_u": _lin_g(sacrf, "f_u"),
+            "spatial_att": _convert_att_block(_group(sacrf, "spatial_att.")),
+            "temporal_att": _convert_att_block(
+                _group(sacrf, "temporal_att.")),
+            "f_spatil_att": _lin_g(sacrf, "f_spatil_att"),
+            "f_temporal_att": _lin_g(sacrf, "f_temporal_att"),
+            "compatible_trans_s": _lin_g(sacrf, "compatible_trans_s"),
+            "compatible_trans_t": _lin_g(sacrf, "compatible_trans_t"),
+            "halt_fc": _lin_g(sacrf, "halt_fc")}
+        used |= {"SACRF." + k for k in sacrf}
+    biute = _group(flat, "BiUTE.")
+    if biute:
+        params["BiUTE"] = {"q": _lin_g(biute, "q")}
+        used |= {"BiUTE." + k for k in biute}
+
+    pctdm = _group(flat, "pctdm.")
+    if pctdm:
+        params["pctdm"] = {
+            "Bi_Lstm": {"fwd": _lstm_g(pctdm, "Bi_Lstm"),
+                        "bwd": _lstm_g(pctdm, "Bi_Lstm", "_reverse")},
+            "att_source_weights": _lin_g(pctdm, "att_source_weights.0"),
+            "att_context_weights": _lin_g(pctdm, "att_context_weights.0"),
+            "att_extra_weights": _lin_g(pctdm, "att_extra_weights.0"),
+            "Intra_Group_LSTM": _lstm_g(pctdm, "Intra_Group_LSTM")}
+        used |= {"pctdm." + k for k in pctdm}
+
+    for cib_name in ("BIM", "PIM"):             # HiGCIN cross-infer blocks
+        g = _group(flat, cib_name + ".")
+        if g:
+            params[cib_name], head_stats[cib_name] = _convert_cib(g)
+            used |= {cib_name + "." + k for k in g}
+
+    gl = _group(flat, "gcn_list.")              # ARG / legacy GCNnet
+    if gl:
+        layers = sorted({int(k.split(".")[0]) for k in gl})
+        for layer in layers:
+            params[f"gcn_{layer}"] = _convert_gcn_layer(
+                _group(gl, f"{layer}."))
+        used |= {"gcn_list." + k for k in gl}
+
+    tce = _group(flat, "multilayer_head_embfeature_context_encoding.")
+    if tce:
+        params["tce"] = _convert_tce(tce)
+        used |= {"multilayer_head_embfeature_context_encoding." + k
+                 for k in tce}
     if "point_conv.weight" in flat:             # 1x1 conv as Dense
         params["point_conv"] = {
             "kernel": flat["point_conv.weight"][:, :, 0, 0].T,
@@ -133,6 +283,8 @@ def convert_model_state(flat: Dict[str, np.ndarray], cfg
         out["params"].update(trunk_wrap.get("params", {}))
         if "batch_stats" in trunk_wrap:
             out["batch_stats"] = trunk_wrap["batch_stats"]
+    if head_stats:                       # HiGCIN CrossInferBlock BN stats
+        out.setdefault("batch_stats", {}).update(head_stats)
     return out, sorted(set(flat) - used)
 
 

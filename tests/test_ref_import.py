@@ -80,3 +80,85 @@ def test_stage1_component_import(ref_models, rng, tmp_path):
                                want_actions.numpy(), rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(out["activities"]),
                                want_acts.numpy(), rtol=2e-3, atol=2e-3)
+
+
+# ---- every head family round-trips through the flat importer ---------------
+
+from test_backbones import _randomize_bn_stats  # noqa: E402
+
+
+def _roundtrip(rng, tmp_path, rcfg, model_name, tm, B=2, input_cfg=None,
+               out_key="activities", want=None):
+    """Save ``tm.state_dict()`` in the reference's full-model format, import
+    via load_reference_checkpoint, compare logits end-to-end."""
+    path = str(tmp_path / "ref_full.pth")
+    torch.save({"epoch": 1, "state_dict": tm.state_dict(),
+                "optimizer": {}}, path)
+    images, boxes = _make_inputs(rng, input_cfg or rcfg, B=B)
+    images = np.round(images)
+    if want is None:
+        with torch.no_grad():
+            want = tm(_torch_inputs(images, boxes))[out_key].numpy()
+    cfg = _our_cfg(rcfg, inference_module_name=model_name)
+    model = build_model(cfg)
+    ij, bj = _jax_inputs(images, boxes)
+    variables = model.init(jax.random.PRNGKey(0), ij, bj, train=False)
+    variables, skipped = load_reference_checkpoint(variables, path, cfg)
+    assert skipped == [], skipped
+    with jax.default_matmul_precision("highest"):
+        out = model.apply(variables, ij, bj, train=False)
+    np.testing.assert_allclose(np.asarray(out[out_key]), want,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_at_import(ref_models, rng, tmp_path):
+    rcfg = _ref_cfg(num_frames=3, lite_dim=None,
+                    temporal_pooled_first=False)
+    torch.manual_seed(0)
+    tm = ref_models.infer_model.AT_volleyball(rcfg)
+    tm.eval()
+    _roundtrip(rng, tmp_path, rcfg, "at_volleyball", tm)
+
+
+def test_arg_import(ref_models, rng, tmp_path):
+    rcfg = _ref_cfg(num_frames=3, lite_dim=None, num_graph=4, gcn_layers=1,
+                    pos_threshold=0.2, dataset_name="volleyball")
+    torch.manual_seed(0)
+    tm = ref_models.infer_model.ARG_volleyball(rcfg)
+    tm.eval()
+    _roundtrip(rng, tmp_path, rcfg, "arg_volleyball", tm,
+               input_cfg=_ref_cfg(num_frames=9))
+
+
+def test_higcin_import(ref_models, rng, tmp_path):
+    rcfg = _ref_cfg(backbone="res18", num_frames=3, lite_dim=None)
+    torch.manual_seed(0)
+    tm = ref_models.infer_model.HiGCIN_volleyball(rcfg)
+    _randomize_bn_stats(tm, seed=4)
+    tm.eval()
+    _roundtrip(rng, tmp_path, rcfg, "higcin_volleyball", tm)
+
+
+def test_sacrf_biute_import(ref_models, rng, tmp_path):
+    rcfg = _ref_cfg(num_frames=3, lite_dim=None, num_features_boxes=32)
+    torch.manual_seed(0)
+    tm = ref_models.infer_model.SACRF_BiUTE_volleyball(rcfg)
+    tm.eval()
+    _roundtrip(rng, tmp_path, rcfg, "sacrf_biute_volleyball", tm)
+
+
+def test_pctdm_import(ref_models, rng, tmp_path):
+    rcfg = _ref_cfg(num_frames=2, lite_dim=None, num_features_boxes=1024)
+    torch.manual_seed(0)
+    tm = ref_models.infer_model.PCTDM_volleyball(rcfg)
+    tm.eval()
+    _roundtrip(rng, tmp_path, rcfg, "pctdm_volleyball", tm, B=1)
+
+
+def test_dynamic_tce_import(ref_models, rng, tmp_path):
+    rcfg = _ref_cfg(lite_dim=None, ST_kernel_size=[(3, 3)], num_DIM=1)
+    torch.manual_seed(0)
+    tm = ref_models.infer_model.Dynamic_TCE_volleyball(rcfg)
+    _randomize_din(tm.DPI, seed=5)
+    tm.eval()
+    _roundtrip(rng, tmp_path, rcfg, "dynamic_tce_volleyball", tm, B=1)
