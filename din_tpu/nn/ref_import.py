@@ -185,7 +185,12 @@ def convert_model_state(flat: Dict[str, np.ndarray], cfg
             _ln(flat["nl_emb_1.weight"], flat["nl_emb_1.bias"])
         used |= {"nl_emb_1.weight", "nl_emb_1.bias"}
 
-    # DIN heads: Multi (DPI.DIMlist.{i}.*) or plain (DPI.*)
+    # DIN heads come in three on-disk layouts (dynamic_infer_module.py):
+    #   Multi        DPI.DIMlist.{i}.*   (volleyball, infer_model.py:75-87)
+    #   hierarchical DPI.DPI_{1,2}.* + DPI.hier_LN.*  (:446-498)
+    #   plain        DPI.*               (collective, infer_model.py:1174)
+    # Our models express plain as a single-kernel MultiDynamicInference, so
+    # the plain layout nests under DIM_0 (heads/din.py:229-259).
     dpi = _group(flat, "DPI.")
     if dpi:
         dims = sorted({k.split(".")[1] for k in dpi
@@ -194,8 +199,15 @@ def convert_model_state(flat: Dict[str, np.ndarray], cfg
             params["DPI"] = {
                 f"DIM_{i}": _convert_din(_group(dpi, f"DIMlist.{i}."))
                 for i in dims}
+        elif any(k.startswith("DPI_1.") for k in dpi):
+            params["DPI"] = {
+                "DPI_1": _convert_din(_group(dpi, "DPI_1.")),
+                "DPI_2": _convert_din(_group(dpi, "DPI_2."))}
+            if "hier_LN.weight" in dpi:
+                params["DPI"]["hier_LN"] = _ln(dpi["hier_LN.weight"],
+                                               dpi["hier_LN.bias"])
         else:
-            params["DPI"] = _convert_din(dpi)
+            params["DPI"] = {"DIM_0": _convert_din(dpi)}
         used |= {"DPI." + k for k in dpi}
 
     for tln in ("dpi_nl", "point_ln", "pctdm_nl"):  # 3-axis TorchLayerNorm
@@ -288,6 +300,21 @@ def convert_model_state(flat: Dict[str, np.ndarray], cfg
     return out, sorted(set(flat) - used)
 
 
+def _unapplied_leaves(dst: Dict[str, Any], src: Dict[str, Any],
+                      path: str = "") -> List[str]:
+    """Paths in ``src`` that graft_variables would silently skip because
+    the destination tree has no matching node (torch_port._tree_merge walks
+    dst keys only)."""
+    out: List[str] = []
+    for k, v in src.items():
+        p = f"{path}/{k}" if path else k
+        if not isinstance(dst, dict) or k not in dst:
+            out.append(p)
+        elif isinstance(v, dict):
+            out.extend(_unapplied_leaves(dst[k], v, p))
+    return out
+
+
 def _to_numpy_state(obj) -> Dict[str, np.ndarray]:
     return {k: v.detach().cpu().numpy() if hasattr(v, "detach")
             else np.asarray(v) for k, v in obj.items()}
@@ -320,6 +347,10 @@ def load_reference_checkpoint(variables: Dict[str, Any], path_or_state,
         flat = _to_numpy_state(state.get("state_dict", state))
 
     converted, skipped = convert_model_state(flat, cfg)
+    unapplied = _unapplied_leaves(variables, converted)
+    if unapplied:
+        skipped = sorted(set(skipped)
+                         | {f"(unapplied) {p}" for p in unapplied})
     grafted = graft_variables(variables, converted)
     if verbose:
         n = len(flat) - len(skipped)
