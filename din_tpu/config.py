@@ -112,6 +112,11 @@ class Config:
     # the initialised variables via nn/ref_import.py.  Applied before the
     # din_tpu-native stage-1/stage-2 loaders.
     ref_checkpoint_path: str = ""
+    # Also adopt the torch Adam moments/step/lr saved in a full-format
+    # reference checkpoint (the reference saves but never restores them,
+    # train_net.py:99,121-125) and resume at its epoch + 1 — exact
+    # mid-training migration (nn/ref_import.py load_reference_optimizer).
+    ref_resume_optimizer: bool = False
 
     # Actor Transformer (reference: config.py:99-100)
     temporal_pooled_first: bool = False

@@ -21,6 +21,10 @@ def main(argv=None):
     parser.add_argument("--ref-checkpoint-path", default=None,
                         help=".pth saved by the reference framework to "
                              "graft in (nn/ref_import.py)")
+    parser.add_argument("--ref-resume-optimizer", action="store_true",
+                        help="also adopt the torch Adam moments/step/lr "
+                             "from the reference full checkpoint and "
+                             "resume at its epoch + 1")
     args = parser.parse_args(argv)
 
     cfg = PRESETS[args.preset]()
@@ -35,6 +39,8 @@ def main(argv=None):
         overrides["stage1_model_path"] = args.stage1_model_path
     if args.ref_checkpoint_path:
         overrides["ref_checkpoint_path"] = args.ref_checkpoint_path
+    if args.ref_resume_optimizer:
+        overrides["ref_resume_optimizer"] = True
     if overrides:
         cfg = cfg.replace(**overrides)
     best = train_net(cfg, max_steps_per_epoch=args.max_steps_per_epoch)

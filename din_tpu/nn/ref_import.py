@@ -300,6 +300,78 @@ def convert_model_state(flat: Dict[str, np.ndarray], cfg
     return out, sorted(set(flat) - used)
 
 
+_BUFFER_SUFFIXES = ("running_mean", "running_var", "num_batches_tracked")
+
+
+def load_reference_optimizer(opt_state, path_or_state, cfg):
+    """Resume torch-Adam training exactly from a reference full checkpoint.
+
+    The reference SAVES ``optimizer.state_dict()`` (train_net.py:121-125)
+    but never restores it; here the saved ``exp_avg``/``exp_avg_sq``/
+    ``step`` are converted through the same per-tensor layout transforms as
+    the weights (Adam is elementwise, so any weight permutation applies to
+    its moments unchanged) and grafted into optax's scale_by_adam state.
+
+    torch Adam state is keyed by parameter INDEX over
+    ``filter(requires_grad, model.parameters())`` (train_net.py:86) —
+    reconstructed from the checkpoint's state_dict key order minus BN
+    buffers, minus ``backbone.*`` when the run froze it.  The one
+    non-elementwise converter quirk: torch nn.LSTM keeps two bias vectors
+    whose gradients (hence moments) are identical; the import sums biases,
+    so LSTM-bias moments are pre-halved to keep the sum exact.
+
+    Returns ``(opt_state, epoch)``; opt_state is unchanged when the file
+    carries no optimizer state.
+    """
+    state = path_or_state
+    if isinstance(state, str):
+        import torch                      # local: only for .pth reading
+        state = torch.load(state, map_location="cpu", weights_only=False)
+    epoch = int(state.get("epoch", 0))
+    opt_sd = state.get("optimizer") or {}
+    if not opt_sd.get("state"):
+        return opt_state, epoch
+
+    model_flat = _to_numpy_state(state["state_dict"])
+    names = [k for k in model_flat if not k.endswith(_BUFFER_SUFFIXES)]
+    if not cfg.train_backbone:
+        names = [k for k in names if not k.startswith("backbone.")]
+    ids = [pid for g in opt_sd["param_groups"] for pid in g["params"]]
+    if len(ids) != len(names):
+        raise ValueError(
+            f"optimizer has {len(ids)} params but the checkpoint implies "
+            f"{len(names)} trainable tensors — was train_backbone "
+            f"({cfg.train_backbone}) different in the reference run?")
+    id2name = dict(zip(ids, names))
+
+    # running stats ride along so convert_backbone_state can tell BN scale
+    # moments apart from conv/linear weight moments (rank-1 'weight' keys)
+    stats = {k: v for k, v in model_flat.items()
+             if k.endswith(("running_mean", "running_var"))}
+    mu_flat, nu_flat, steps = dict(stats), dict(stats), [0]
+    for pid, pstate in opt_sd["state"].items():
+        name = id2name[int(pid)]
+        scale = 0.5 if (".bias_ih_l0" in name or ".bias_hh_l0" in name) \
+            else 1.0
+        mu_flat[name] = np.asarray(_leaf_np(pstate["exp_avg"])) * scale
+        nu_flat[name] = np.asarray(_leaf_np(pstate["exp_avg_sq"])) * scale
+        steps.append(int(_leaf_np(pstate["step"])))
+
+    from din_tpu.train.optim import adopt_adam_moments, set_learning_rate
+    mu_tree, _ = convert_model_state(mu_flat, cfg)
+    nu_tree, _ = convert_model_state(nu_flat, cfg)
+    opt_state = adopt_adam_moments(opt_state, mu_tree["params"],
+                                   nu_tree["params"], max(steps))
+    lr = opt_sd["param_groups"][0].get("lr")
+    if lr is not None:
+        opt_state = set_learning_rate(opt_state, float(lr))
+    return opt_state, epoch
+
+
+def _leaf_np(v):
+    return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+
 def _unapplied_leaves(dst: Dict[str, Any], src: Dict[str, Any],
                       path: str = "") -> List[str]:
     """Paths in ``src`` that graft_variables would silently skip because

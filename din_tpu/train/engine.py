@@ -256,6 +256,17 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
 
     tx = make_optimizer(cfg, variables["params"])
     opt_state = tx.init(variables["params"])
+    if getattr(cfg, "ref_checkpoint_path", "") and \
+            getattr(cfg, "ref_resume_optimizer", False):
+        # exact mid-training migration: adopt the torch Adam moments the
+        # reference saved (but never restored) and continue at epoch + 1
+        from din_tpu.nn.ref_import import load_reference_optimizer
+        opt_state, ref_epoch = load_reference_optimizer(
+            opt_state, cfg.ref_checkpoint_path, cfg)
+        start_epoch = ref_epoch + 1
+        print_log(cfg.log_path,
+                  "Adopted reference optimizer state (resuming at epoch "
+                  f"{start_epoch})")
     if resumed_opt is not None:
         # full resume incl. Adam moments (the reference saves but never
         # restores optimizer state, train_net.py:99,121-125 — fixed here)

@@ -56,6 +56,41 @@ def lr_for_epoch(cfg, epoch: int) -> float:
     return lr
 
 
+def adopt_adam_moments(opt_state, mu_src, nu_src, count: int):
+    """Return opt_state with Adam first/second moments and step count
+    replaced by converted values (nested dicts matching the params tree,
+    possibly partial).  Used by the reference-checkpoint migration to
+    resume torch-Adam training exactly (nn/ref_import.py): torch
+    ``exp_avg``/``exp_avg_sq``/``step`` map 1:1 onto optax scale_by_adam's
+    ``mu``/``nu``/``count`` — both apply the same bias correction."""
+
+    def merge(dst, src, path=""):
+        if isinstance(dst, dict):
+            return {k: merge(v, src[k], f"{path}/{k}") if k in src else v
+                    for k, v in dst.items()}
+        if not hasattr(dst, "shape"):      # optax.MaskedNode: frozen param
+            raise ValueError(f"moment supplied for frozen param at {path}")
+        src = jnp.asarray(src, dst.dtype)
+        if src.shape != dst.shape:
+            raise ValueError(f"moment shape mismatch at {path}: "
+                             f"{dst.shape} vs {src.shape}")
+        return src
+
+    inject = opt_state.inner_state          # masked -> InjectHyperparamsState
+    chain = inject.inner_state
+    new_chain, replaced = [], False
+    for s in chain:
+        if hasattr(s, "mu") and hasattr(s, "nu"):
+            s = s._replace(count=jnp.asarray(count, s.count.dtype),
+                           mu=merge(s.mu, mu_src), nu=merge(s.nu, nu_src))
+            replaced = True
+        new_chain.append(s)
+    if not replaced:
+        raise ValueError("no scale_by_adam state found in opt_state")
+    return opt_state._replace(
+        inner_state=inject._replace(inner_state=tuple(new_chain)))
+
+
 def set_learning_rate(opt_state, lr: float):
     """Return a NEW opt_state with the injected learning_rate replaced.
 

@@ -165,6 +165,83 @@ def test_pctdm_import(ref_models, rng, tmp_path):
                allow_skipped=["(unapplied) params/fc_actions"])
 
 
+def test_optimizer_state_resume(ref_models, rng, tmp_path):
+    """Exact mid-training migration: torch runs 3 Adam steps and saves a
+    full checkpoint (incl. optimizer.state_dict(), train_net.py:121-125);
+    our engine adopts weights AND Adam moments/step, then both continue on
+    identical batches — the continuation loss trajectories must match.
+    """
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+
+    from din_tpu.nn.ref_import import load_reference_optimizer
+    from din_tpu.train.engine import TrainState, make_train_step
+    from din_tpu.train.optim import make_optimizer
+
+    lr, B = 1e-3, 2
+    rcfg = _ref_cfg(backbone="res18", train_dropout_prob=0.0,
+                    ST_kernel_size=[(3, 3)], num_DIM=1, lite_dim=32)
+    torch.manual_seed(0)
+    tm = ref_models.infer_model.Dynamic_volleyball(rcfg)
+    _randomize_bn_stats(tm.backbone, seed=2)
+    _randomize_din(tm.DPI, seed=1)
+
+    batches = []
+    for _ in range(5):
+        images, boxes = _make_inputs(rng, rcfg, B=B)
+        images = np.round(images)
+        labels = rng.randint(0, rcfg.num_activities,
+                             (B, rcfg.num_frames)).astype(np.int64)
+        batches.append((images, boxes, labels))
+
+    tm.train()
+    opt = torch.optim.Adam([p for p in tm.parameters() if p.requires_grad],
+                           lr=lr)
+
+    def torch_step(images, boxes, labels):
+        ti, tb = _torch_inputs(images, boxes)
+        loss = F.cross_entropy(tm((ti, tb))["activities"],
+                               torch.from_numpy(labels[:, 0]))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        return float(loss.detach())
+
+    for images, boxes, labels in batches[:3]:       # warm up 3 torch steps
+        torch_step(images, boxes, labels)
+    path = str(tmp_path / "mid_training.pth")
+    torch.save({"epoch": 3, "state_dict": tm.state_dict(),
+                "optimizer": opt.state_dict()}, path)
+    ref_losses = [torch_step(*b) for b in batches[3:]]  # torch continuation
+
+    cfg = _our_cfg(rcfg, train_dropout_prob=0.0, train_learning_rate=lr,
+                   lr_plan={}, weight_decay=0.0, set_bn_eval=False)
+    model = build_model(cfg)
+    ij0, bj0 = _jax_inputs(batches[0][0], batches[0][1])
+    variables = model.init(jax.random.PRNGKey(0), ij0, bj0, train=False)
+    variables, _ = load_reference_checkpoint(variables, path, cfg)
+    tx = make_optimizer(cfg, variables["params"])
+    opt_state, epoch = load_reference_optimizer(
+        tx.init(variables["params"]), path, cfg)
+    assert epoch == 3
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=opt_state, rng=jax.random.PRNGKey(0))
+    step = make_train_step(model, cfg, tx, frame0_labels=True, has_bn=True,
+                           donate=False)
+    got_losses = []
+    with jax.default_matmul_precision("highest"):
+        for images, boxes, labels in batches[3:]:
+            ij, bj = _jax_inputs(images, boxes)
+            batch = {"images": ij, "boxes": bj,
+                     "activities": jnp.asarray(labels.astype(np.int32)),
+                     "actions": jnp.zeros(
+                         (B, rcfg.num_frames, rcfg.num_boxes), jnp.int32)}
+            state, metrics = step(state, batch)
+            got_losses.append(float(metrics["loss"]))
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=5e-3, atol=5e-3)
+
+
 def test_dynamic_collective_import(ref_models, rng, tmp_path):
     """Dynamic_collective writes a PLAIN ``DPI.*`` layout (a bare
     Dynamic_Person_Inference, infer_model.py:1174-1185) — the importer must
