@@ -25,7 +25,7 @@ very last line (the driver reads the last parseable stdout line).  Fields:
 stage-1 inv3, HiGCIN, RoIAlign impl check, loader decode scaling) print
 their own JSON lines to stderr; each is individually fenced so a failure
 cannot take down the primary metric, and each is gated on a wall-clock
-budget (DIN_TPU_BENCH_BUDGET_S, default 1200 s) so the whole run stays
+budget (DIN_TPU_BENCH_BUDGET_S, default 480 s) so the whole run stays
 inside the driver's timeout — BENCH_r02 was rc=124 because the unbudgeted
 long tail (loader device_put at ~13 MB/s over this environment's remote
 tunnel) outlived it.  DIN_TPU_BENCH_FAST=1 skips all secondaries;
@@ -55,7 +55,12 @@ def _elapsed() -> float:
 
 
 def _budget() -> float:
-    return float(os.environ.get("DIN_TPU_BENCH_BUDGET_S", "1200"))
+    # 480 s default: the driver's bench timeout is unknown (round-2 hit it
+    # at rc=124); flagship + both MFU figures land well inside 480 s with
+    # the persistent compile cache, and the secondary recipes are already
+    # recorded in PERF.md — rc=0 with a parsed primary line beats a longer
+    # tail.  Raise via env for full local captures.
+    return float(os.environ.get("DIN_TPU_BENCH_BUDGET_S", "480"))
 
 
 def _time_left(need_s: float, phase: str) -> bool:

@@ -128,6 +128,14 @@ class Config:
     compute_dtype: str = "bfloat16"      # dtype for backbone/head matmuls
     param_dtype: str = "float32"
     mesh_shape: Dict[str, int] = dataclasses.field(default_factory=dict)  # e.g. {"data": 8}
+    # Sequence(frame) parallelism: shard the flattened B*T frame axis over
+    # BOTH mesh axes through the trunk (frames are independent there —
+    # models/trunk.py), then gather to batch-over-'data' for the reasoning
+    # head.  Scales the dominant backbone cost even at batch sizes the
+    # reference's nn.DataParallel cannot split (e.g. bs1).  Params stay
+    # replicated over 'model' (do not combine with tensor-parallel
+    # param_sharding on the same axis).
+    frame_parallel: bool = False
     prefetch_depth: int = 2              # host->device pipeline depth
     roi_align_impl: str = "auto"         # auto|onehot|gather|pallas
     frame_chunk: Optional[int] = None    # frames per backbone micro-batch

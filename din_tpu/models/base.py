@@ -14,6 +14,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from din_tpu.parallel import mesh as mesh_lib
 from din_tpu.models.trunk import EmbedActors, Trunk
 from din_tpu.nn.layers import kaiming_normal_init
 from din_tpu.utils.masking import masked_max
@@ -46,6 +47,7 @@ class BasenetVolleyball(nn.Module):
             folded_stem=getattr(cfg, "folded_stem", True),
                  fuse_multiscale_roi=getattr(
                      cfg, "fuse_multiscale_roi", True),
+                 frame_axes=mesh_lib.frame_axes(cfg),
             name="trunk")(
                 images, boxes, bn_train=train and not cfg.set_bn_eval)
         # stage-1 embedding: fc_emb + ReLU + dropout (base_model.py:119-121)
@@ -86,6 +88,7 @@ class BasenetCollective(nn.Module):
             folded_stem=getattr(cfg, "folded_stem", True),
                  fuse_multiscale_roi=getattr(
                      cfg, "fuse_multiscale_roi", True),
+                 frame_axes=mesh_lib.frame_axes(cfg),
             name="trunk")(
                 images, boxes, bn_train=train and not cfg.set_bn_eval)
         feats = EmbedActors(nfb=cfg.num_features_boxes, use_layernorm=False,

@@ -21,6 +21,7 @@ from din_tpu.heads.higcin import CrossInferBlock
 from din_tpu.heads.pctdm import PCTDM
 from din_tpu.heads.positional import boxes_position_embedding
 from din_tpu.heads.sacrf_biute import SACRF, BiUTE
+from din_tpu.parallel import mesh as mesh_lib
 from din_tpu.models.trunk import EmbedActors, Trunk
 from din_tpu.nn.layers import TorchLayerNorm, kaiming_normal_init
 from din_tpu.utils.masking import mask_actors, masked_max
@@ -43,6 +44,7 @@ def _make_trunk(cfg, name="trunk"):
                  folded_stem=getattr(cfg, "folded_stem", True),
                  fuse_multiscale_roi=getattr(
                      cfg, "fuse_multiscale_roi", True),
+                 frame_axes=mesh_lib.frame_axes(cfg),
                  name=name)
 
 

@@ -92,6 +92,24 @@ class Trunk(nn.Module):
     frame_chunk: Optional[int] = None   # None = auto
     folded_stem: bool = True            # VGG stem fold A/B knob
     fuse_multiscale_roi: bool = True    # compose resize into RoIAlign rows
+    # Sequence(frame) parallelism: mesh axis names the flattened B*T frame
+    # axis is sharded over through the backbone + RoIAlign (frames are
+    # independent until the reasoning head).  The first name is the batch
+    # ('data') axis the per-clip features are gathered back to before the
+    # head.  Requires an ambient mesh (jax.set_mesh) carrying these axes;
+    # None (default) adds no constraints.  cfg.frame_parallel wires this.
+    frame_axes: Optional[Tuple[str, ...]] = None
+
+    def _shard_frames(self, x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+        """Constrain dim `axis` of x (the flattened frame axis) to the
+        merged frame mesh axes, e.g. P(('data','model'), ...)."""
+        if not self.frame_axes:
+            return x
+        from jax.sharding import PartitionSpec as P
+        axes = tuple(self.frame_axes)
+        spec = [None] * x.ndim
+        spec[axis] = axes if len(axes) > 1 else axes[0]
+        return jax.lax.with_sharding_constraint(x, P(*spec))
 
     def _auto_chunk(self, n_frames: int, H: int, W: int) -> int:
         """Frames per backbone micro-batch.  At 720x1280 a single frame's
@@ -143,7 +161,8 @@ class Trunk(nn.Module):
                            name="frames_scan")
         if num_chunks == 1:
             step_mod = _BackboneStep(bn_train=bn_train, **step_kwargs)
-            _, outputs = step_mod(None, images.reshape(B * T, H, W * 3))
+            _, outputs = step_mod(
+                None, self._shard_frames(images.reshape(B * T, H, W * 3)))
         else:
             if self.is_initializing():
                 # collections can't be *created* as a scan carry; at init the
@@ -159,13 +178,16 @@ class Trunk(nn.Module):
                 in_axes=0, out_axes=0, **coll,
             )(bn_train=bn_train and not self.is_initializing(),
               **step_kwargs)
-            packed = images.reshape(num_chunks, chunk, H, W * 3)
+            packed = self._shard_frames(
+                images.reshape(num_chunks, chunk, H, W * 3), axis=1)
             _, outs = scanned(None, packed)
-            outputs = [o.reshape((B * T,) + o.shape[2:]) for o in outs]
+            outputs = [self._shard_frames(
+                o.reshape((B * T,) + o.shape[2:])) for o in outs]
 
         if not self.train_backbone:
             outputs = [jax.lax.stop_gradient(o) for o in outputs]
 
+        flat_boxes = self._shard_frames(boxes.reshape(B * T, N, 4))
         needs_resize = any(o.shape[1:3] != (OH, OW) for o in outputs)
         if self.fuse_multiscale_roi and needs_resize:
             # compose the align-corners resize into the RoIAlign
@@ -173,7 +195,7 @@ class Trunk(nn.Module):
             # (ops/roi_align.py roi_align_multiscale); the multiscale
             # return slot is None (no model consumes it)
             multiscale = None
-            roi = roi_align_multiscale(outputs, boxes.reshape(B * T, N, 4),
+            roi = roi_align_multiscale(outputs, flat_boxes,
                                        self.crop_size, (OH, OW),
                                        impl=self.roi_align_impl)
         else:
@@ -181,10 +203,16 @@ class Trunk(nn.Module):
                      for o in outputs]
             multiscale = feats[0] if len(feats) == 1 \
                 else jnp.concatenate(feats, -1)
-            roi = roi_align(multiscale, boxes.reshape(B * T, N, 4),
+            roi = roi_align(multiscale, flat_boxes,
                             self.crop_size, impl=self.roi_align_impl)
         KH, KW = self.crop_size
         roi = roi.reshape(B, T, N, KH, KW, roi.shape[-1])
+        if self.frame_axes:
+            # gather the per-clip frames back to batch-over-'data' for the
+            # reasoning head (which mixes across T)
+            from jax.sharding import PartitionSpec as P
+            roi = jax.lax.with_sharding_constraint(
+                roi, P(self.frame_axes[0]))
         return roi, multiscale, outputs
 
 

@@ -27,6 +27,17 @@ def make_mesh(cfg=None, devices=None) -> Mesh:
     return Mesh(arr, ("data", "model"))
 
 
+def frame_axes(cfg):
+    """Mesh axes the trunk shards the flattened B*T frame axis over when
+    sequence(frame) parallelism is on (cfg.frame_parallel) — the backbone
+    is embarrassingly parallel over frames, so this scales the dominant
+    trunk cost even at batch sizes nn.DataParallel cannot split.  The
+    engine must install the mesh ambiently (jax.set_mesh) for the trunk's
+    PartitionSpec constraints to resolve."""
+    return ("data", "model") if getattr(cfg, "frame_parallel", False) \
+        else None
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) axis sharded over 'data'."""
     return NamedSharding(mesh, P("data"))

@@ -188,6 +188,11 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
                              process_index=pi, process_count=pc)
 
     mesh = make_mesh(cfg)
+    if getattr(cfg, "frame_parallel", False):
+        # sequence(frame) parallelism: the trunk carries PartitionSpec
+        # constraints over ('data','model') (models/trunk.py frame_axes)
+        # that resolve against the ambient mesh
+        jax.set_mesh(mesh)
     _data_sharding = batch_sharding(mesh)
     rep_sharding = replicated_sharding(mesh)
     n_data = mesh.shape["data"]

@@ -108,6 +108,47 @@ def test_tensor_parallel_2d_mesh_matches_single_device():
                                    rtol=2e-3, atol=5e-4)
 
 
+def test_frame_parallel_matches_single_device():
+    """Sequence(frame) parallelism: data=2 x model=2 mesh with the flattened
+    B*T frame axis sharded over BOTH axes through the trunk
+    (cfg.frame_parallel -> Trunk.frame_axes), gathered back to
+    batch-over-'data' for the head.  Must equal the single-device update —
+    validates the backbone scales over frames, which nn.DataParallel
+    (train_net.py:77-78) cannot do below batch == n_gpus."""
+    cfg, model, state, step, batch = _setup()
+    from din_tpu.train.engine import make_train_step as mts
+    tx = make_optimizer(cfg, state.params)
+
+    # chunked single-device baseline: BN-train statistics depend on the
+    # frame-chunk micro-batching, so the reference point must use the SAME
+    # frame_chunk as the frame-parallel run (placement-only comparison)
+    cfg_c = cfg.replace(frame_chunk=8)
+    step_c = mts(build_model(cfg_c), cfg_c, tx, frame0_labels=True,
+                 has_bn=True, donate=False)
+    dev0 = jax.devices()[0]
+    new0, m0 = step_c(jax.device_put(state, dev0),
+                      jax.device_put(batch, dev0))
+
+    cfg_fp = cfg_c.replace(mesh_shape={"data": 2, "model": 2},
+                           frame_parallel=True)
+    mesh = make_mesh(cfg_fp)
+    model_fp = build_model(cfg_fp)   # trunk carries frame_axes constraints
+    step_fp = mts(model_fp, cfg_fp, tx, frame0_labels=True, has_bn=True,
+                  donate=False)
+    with jax.set_mesh(mesh):
+        state_r = jax.device_put(state, replicated_sharding(mesh))
+        batch_s = jax.device_put(batch, batch_sharding(mesh))
+        new_s, m_s = step_fp(state_r, batch_s)
+        jax.block_until_ready(m_s["loss"])
+
+    np.testing.assert_allclose(float(m0["loss"]), float(m_s["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(new0.params),
+                    jax.tree_util.tree_leaves(new_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=5e-4)
+
+
 def test_mesh_shapes():
     mesh = make_mesh(None)
     assert mesh.shape["data"] * mesh.shape["model"] == len(jax.devices())
