@@ -335,22 +335,29 @@ class _JpegClips:
     def __getitem__(self, i):
         import numpy as np
 
-        from __graft_entry__ import _make_batch
         from din_tpu import native
 
         cfg = self.cfg
-        T = cfg.num_frames
+        T, N = cfg.num_frames, cfg.num_boxes
+        OH, OW = cfg.out_size
         paths = [self.paths[(i + t) % len(self.paths)] for t in range(T)]
         if self.cache is not None:
             images = self.cache.load_frames(paths, *cfg.image_size)
         else:
             images = native.load_frames(paths, *cfg.image_size)
-        proto = _make_batch(cfg, batch_size=1,
-                            rng=np.random.RandomState(i))
+        # labels/boxes generated directly (NOT via _make_batch, whose
+        # full-image randint costs ~240 ms/clip and would dominate any
+        # loader measurement)
+        rng = np.random.RandomState(i)
+        x1 = rng.uniform(0, max(OW - 2, 1), (T, N))
+        y1 = rng.uniform(0, max(OH - 2, 1), (T, N))
         return {"images": images,
-                "boxes": proto["boxes"][0],
-                "actions": proto["actions"][0],
-                "activities": proto["activities"][0]}
+                "boxes": np.stack([x1, y1, x1 + 1.5, y1 + 1.5],
+                                  -1).astype(np.float32),
+                "actions": rng.randint(0, cfg.num_actions,
+                                       (T, N)).astype(np.int32),
+                "activities": rng.randint(0, cfg.num_activities,
+                                          (T,)).astype(np.int32)}
 
 
 def _loader_in_loop(cfg, device_resident_clips):
@@ -515,6 +522,26 @@ def _loader_decode_scaling(cfg):
                   "cache_hit_rate": round(
                       cds.cache.hits / max(1, cds.cache.hits
                                            + cds.cache.misses), 3)})
+        if _time_left(60, "packed_store_rate"):
+            # decode-free path: frames pre-decoded into the mmap store
+            # (cfg.packed_frames_path, din_tpu/data/packed.py)
+            from din_tpu.data.packed import PackedFrameStore, pack_frames
+            pack_path = os.path.join(tmpdir, "frames.pack")
+            pack_frames(tmpdir, pack_path, *cfg.image_size)
+            pds = _JpegClips(tmpdir, cfg, n_clips=4 * cfg.batch_size,
+                             cache=PackedFrameStore(pack_path, root=tmpdir))
+            loader = BatchLoader(pds, cfg.batch_size, shuffle=False,
+                                 num_workers=min(4, cores))
+            for _b in iter(loader):
+                pass                               # page-cache warm-up
+            t0 = time.perf_counter()
+            n = 0
+            for _b in iter(loader):
+                n += cfg.batch_size
+            _log({"metric": "loader_clips_per_sec_packed",
+                  "value": round(n / (time.perf_counter() - t0), 3),
+                  "unit": "clips/sec (host, mmap packed store)",
+                  "store_misses": pds.cache.misses})
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
 

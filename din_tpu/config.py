@@ -153,6 +153,10 @@ class Config:
     num_workers: int = 4                 # host decode threads
     decode_cache_mb: int = 0             # decoded-frame LRU budget (0 = off;
     # ~2.7 MB per 720p frame — data/cache.py)
+    packed_frames_path: Optional[str] = None  # mmap store of pre-decoded
+    # frames (data/packed.py; pack via `python -m din_tpu.data.packed`) —
+    # removes JPEG decode from the input path entirely; takes precedence
+    # over decode_cache_mb
     donate_step_buffers: bool = True
     measure_mad: bool = False            # MAD diagnostics on DIN eval
     profile_dir: Optional[str] = None    # jax.profiler trace output dir

@@ -2,10 +2,10 @@
 
 from __future__ import annotations
 
-from din_tpu.data.cache import make_cache
 from din_tpu.data.collective import (CollectiveDataset,
                                      collective_all_frames,
                                      collective_read_dataset)
+from din_tpu.data.packed import make_frame_source
 from din_tpu.data.synthetic import SyntheticDataset
 from din_tpu.data.volleyball import (VolleyballDataset, load_tracks,
                                      volley_all_frames, volley_read_dataset)
@@ -31,7 +31,7 @@ def return_dataset(cfg):
                       num_boxes=cfg.num_boxes, num_before=cfg.num_before,
                       num_after=cfg.num_after,
                       is_finetune=(cfg.training_stage == 1),
-                      cache=make_cache(cfg))  # one budget for train+val
+                      cache=make_frame_source(cfg))  # shared by train+val
         return (VolleyballDataset(frames=train_frames, is_training=True,
                                   **common),
                 VolleyballDataset(frames=test_frames, is_training=False,
@@ -46,7 +46,7 @@ def return_dataset(cfg):
                       feature_size=cfg.out_size, num_boxes=cfg.num_boxes,
                       num_frames=cfg.num_frames,
                       is_finetune=(cfg.training_stage == 1),
-                      cache=make_cache(cfg))  # one budget for train+val
+                      cache=make_frame_source(cfg))  # shared by train+val
         return (CollectiveDataset(anns=train_anns, frames=train_frames,
                                   is_training=True, **common),
                 CollectiveDataset(anns=test_anns, frames=test_frames,

@@ -189,3 +189,68 @@ def test_frame_cache(tmp_path):
     assert make_cache(Config("volleyball")) is None
     assert make_cache(Config("volleyball").replace(
         decode_cache_mb=32)).budget_bytes == 32 << 20
+
+
+def test_packed_frame_store(tmp_path):
+    """Packed decoded-frame store (data/packed.py): byte-identical to live
+    decode, relocatable suffix lookup, miss fallback, dataset integration,
+    make_frame_source precedence."""
+    from din_tpu import native
+    from din_tpu.data.packed import (PackedFrameStore, make_frame_source,
+                                     pack_frames)
+
+    tracks = _write_volleyball_fixture(str(tmp_path))
+    out = str(tmp_path / "frames.pack")
+    n = pack_frames(str(tmp_path), out, 24, 32, batch=5)
+    assert n == 18                                  # 2 clips x 9 frames
+
+    store = PackedFrameStore(out, root=str(tmp_path))
+    paths = [os.path.join(str(tmp_path), "0", "10", f"{f}.jpg")
+             for f in range(6, 15)]
+    np.testing.assert_array_equal(store.load_frames(paths, 24, 32),
+                                  native.load_frames(paths, 24, 32))
+    assert store.hits == 9 and store.misses == 0
+
+    # relocatable: no root, paths under a different mount point resolve by
+    # the <sid>/<src_fid>/<fid>.jpg suffix (the real store travels hosts)
+    roaming = PackedFrameStore(out)
+    moved = [p.replace(str(tmp_path), "/elsewhere/videos") for p in paths]
+    np.testing.assert_array_equal(roaming.load_frames(moved, 24, 32),
+                                  native.load_frames(paths, 24, 32))
+    assert roaming.hits == 9
+
+    # miss fallback: a frame absent from the store decodes live
+    extra = str(tmp_path / "0" / "10" / "999.jpg")
+    from PIL import Image
+    Image.fromarray(np.full((24, 32, 3), 7, np.uint8)).save(extra)
+    got = store.load_frames([paths[0], extra], 24, 32)
+    np.testing.assert_array_equal(got[1], native.load_frames([extra],
+                                                             24, 32)[0])
+    assert store.misses == 1
+
+    # wrong geometry is an explicit error, not silent resize
+    with pytest.raises(ValueError):
+        store.load_frames(paths, 48, 64)
+
+    # dataset integration: identical batches through the store
+    anns = volley_read_annotations(str(tmp_path / "0" / "annotations.txt"))
+    common = dict(anns={0: anns}, tracks=tracks, frames=[(0, 10), (0, 20)],
+                  images_path=str(tmp_path), image_size=(24, 32),
+                  feature_size=(2, 3), num_boxes=12,
+                  inference_module_name="dynamic_volleyball",
+                  is_training=False, is_finetune=False)
+    plain = VolleyballDataset(**common)
+    packed = VolleyballDataset(cache=PackedFrameStore(
+        out, root=str(tmp_path)), **common)
+    for i in range(2):
+        np.testing.assert_array_equal(plain[i]["images"],
+                                      packed[i]["images"])
+
+    # make_frame_source precedence: packed > LRU > None
+    cfg = Config("volleyball").replace(data_path=str(tmp_path))
+    assert make_frame_source(cfg) is None
+    assert make_frame_source(
+        cfg.replace(decode_cache_mb=32)).budget_bytes == 32 << 20
+    src = make_frame_source(cfg.replace(decode_cache_mb=32,
+                                        packed_frames_path=out))
+    assert isinstance(src, PackedFrameStore) and len(src) == 18
