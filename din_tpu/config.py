@@ -162,6 +162,9 @@ class Config:
     profile_dir: Optional[str] = None    # jax.profiler trace output dir
     debug_nans: bool = False             # jax nan-checking (debug runs)
     auto_resume: bool = False            # resume latest ckpt in result_path
+    graceful_preemption: bool = True     # SIGTERM -> save full state at the
+    # next step boundary + clean exit (train/preempt.py); pair with
+    # auto_resume to survive spot/maintenance reclaims
     checkpoint_backend: str = "msgpack"  # 'msgpack' file | 'orbax' dir (pod-safe)
 
     # Derived at init_config()

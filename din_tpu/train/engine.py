@@ -31,6 +31,7 @@ from din_tpu.parallel.mesh import (batch_sharding, make_mesh,
                                    replicated_sharding)
 from din_tpu.train import checkpoint as ckpt_lib
 from din_tpu.train.losses import compute_losses
+from din_tpu.train.preempt import PreemptionGuard
 from din_tpu.train.optim import lr_for_epoch, make_optimizer, set_learning_rate
 from din_tpu.utils.logging import print_log, show_config, show_epoch_info
 from din_tpu.utils.meters import MPCA, Timer
@@ -162,11 +163,17 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
         jax.config.update("jax_debug_nans", True)
 
     # elastic recovery: pick up the newest checkpoint in result_path
-    # (crash = lost run in the reference; SURVEY.md §5 failure detection)
-    if cfg.auto_resume and cfg.training_stage == 2 and not cfg.stage2model:
-        ckpts = sorted(
-            (f for f in os.listdir(cfg.result_path) if f.endswith(".ckpt")),
-            key=lambda f: int(f.split("epoch")[1].split("_")[0]))
+    # (crash = lost run in the reference; SURVEY.md §5 failure detection).
+    # Stage 2 saves full state every eval; stage 1's regular saves are
+    # component-style (not resumable), so only its _preempt full-state
+    # emergency saves (train/preempt.py) qualify.
+    if cfg.auto_resume and not cfg.stage2model:
+        ckpts = [f for f in os.listdir(cfg.result_path)
+                 if f.endswith(".ckpt")]
+        if cfg.training_stage == 1:
+            ckpts = [f for f in ckpts if "_preempt" in f]
+        ckpts = sorted(ckpts,
+                       key=lambda f: int(f.split("epoch")[1].split("_")[0]))
         if ckpts:
             cfg.stage2model = os.path.join(cfg.result_path, ckpts[-1])
             cfg.load_stage2model = True
@@ -245,6 +252,15 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
                       % (cfg.stage2model, start_epoch))
         else:
             print_log(cfg.log_path, "Not loading stage1 or stage2 model.")
+    elif cfg.load_stage2model and cfg.stage2model:
+        # stage-1 preemption resume: the _preempt emergency save is the
+        # same full-state payload load_stage2_model restores by template
+        variables, last_epoch, resumed_opt = ckpt_lib.load_stage2_model(
+            variables, cfg.stage2model)
+        start_epoch = last_epoch + 1
+        print_log(cfg.log_path,
+                  "Resuming stage1 from %s (epoch %d)"
+                  % (cfg.stage2model, start_epoch))
     elif cfg.pretrained_backbone_path:
         from din_tpu.nn.torch_port import (convert_backbone_state,
                                            torch_file_to_numpy)
@@ -321,6 +337,34 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
         info = run_eval(state, 0)
         show_epoch_info("Test", cfg.log_path, info)
 
+    def save_preempt(state, last_done_epoch):
+        """Full-state emergency save; filename matches the auto_resume
+        epoch-number grammar so the next launch resumes the interrupted
+        epoch (train/preempt.py)."""
+        path = os.path.join(
+            cfg.result_path, "stage%d_epoch%d_preempt.ckpt"
+            % (cfg.training_stage, last_done_epoch))
+        ckpt_lib.save_checkpoint(path, {
+            "epoch": last_done_epoch,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": flax.serialization.to_state_dict(state.opt_state),
+        }, backend=getattr(cfg, "checkpoint_backend", "msgpack"))
+        print_log(cfg.log_path,
+                  "preemption: state saved to %s — resume with "
+                  "auto_resume=True" % path)
+
+    guard_ctx = PreemptionGuard() if getattr(
+        cfg, "graceful_preemption", True) else contextlib.nullcontext()
+    with guard_ctx as guard:
+        return _epoch_loop(cfg, state, guard, best, total_timer, start_epoch,
+                           train_loader, train_step, data_sharding, run_eval,
+                           save_preempt, max_steps_per_epoch)
+
+
+def _epoch_loop(cfg, state, guard, best, total_timer, start_epoch,
+                train_loader, train_step, data_sharding, run_eval,
+                save_preempt, max_steps_per_epoch):
     for epoch in range(start_epoch, start_epoch + cfg.max_epoch):
         if epoch in cfg.lr_plan:
             print_log(cfg.log_path,
@@ -339,6 +383,12 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
                     sharding=data_sharding)):
                 state, m = train_step(state, batch)
                 metrics.append(m)
+                if guard is not None and guard.should_stop:
+                    # preemption: save at the step boundary (never inside
+                    # the compiled step) and exit cleanly; the interrupted
+                    # epoch reruns from its start on resume
+                    save_preempt(state, epoch - 1)
+                    return best
                 if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
                     break
         info = _epoch_info(metrics, epoch, timer.timeit(),

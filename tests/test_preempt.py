@@ -1,0 +1,118 @@
+"""Graceful preemption: SIGTERM latching, mid-epoch emergency save, resume
+(din_tpu/train/preempt.py + engine wiring; the reference loses the run,
+SURVEY.md §5 'failure detection / elastic recovery')."""
+
+import os
+import signal
+
+from din_tpu.experiments.presets import PRESETS
+from din_tpu.train import engine
+from din_tpu.train.engine import train_net
+from din_tpu.train.preempt import PreemptionGuard
+
+
+def _smoke_cfg(tmp_path, **kw):
+    cfg = PRESETS["synthetic_smoke"]()
+    kw.setdefault("max_epoch", 1)
+    kw.setdefault("backbone", "alex")
+    kw.setdefault("out_size", (1, 2))
+    kw.setdefault("emb_features", 256)
+    return cfg.replace(result_root=str(tmp_path), **kw)
+
+
+def test_preemption_guard_latches_sigterm():
+    """A real SIGTERM inside the guard sets the flag instead of killing the
+    process; the previous handler is restored on exit."""
+    before = signal.getsignal(signal.SIGTERM)
+    with PreemptionGuard() as guard:
+        assert guard.armed and not guard.should_stop
+        os.kill(os.getpid(), signal.SIGTERM)
+        # CPython delivers at the next bytecode boundary in the main thread
+        for _ in range(100):
+            if guard.should_stop:
+                break
+        assert guard.should_stop
+    assert signal.getsignal(signal.SIGTERM) is before
+
+
+class _FakeGuard:
+    """should_stop turns True after `after` queries (one per train step)."""
+
+    def __init__(self, after=2):
+        self.after = after
+        self.calls = 0
+        self.armed = True
+
+    @property
+    def should_stop(self):
+        self.calls += 1
+        return self.calls > self.after
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        pass
+
+
+def test_preemption_saves_and_auto_resumes(tmp_path, monkeypatch):
+    """Engine path: a preemption mid-epoch writes a full-state _preempt
+    checkpoint and returns cleanly; auto_resume picks it up and reruns the
+    interrupted epoch."""
+    monkeypatch.setattr(engine, "PreemptionGuard", lambda: _FakeGuard(2))
+    cfg1 = _smoke_cfg(tmp_path, max_epoch=5, exp_note="pre",
+                      exp_name="preempt_exp")
+    train_net(cfg1)                      # returns early via the fake guard
+    files = os.listdir(cfg1.result_path)
+    pre = [f for f in files if f.endswith("_preempt.ckpt")]
+    assert pre == ["stage2_epoch0_preempt.ckpt"]   # died in epoch 1
+    log = open(os.path.join(cfg1.result_path, "log.txt")).read()
+    assert "preemption: state saved" in log
+
+    monkeypatch.setattr(engine, "PreemptionGuard", PreemptionGuard)
+    cfg2 = _smoke_cfg(tmp_path, max_epoch=1, exp_note="pre",
+                      exp_name="preempt_exp", auto_resume=True)
+    train_net(cfg2, max_steps_per_epoch=2)
+    log = open(os.path.join(cfg2.result_path, "log.txt")).read()
+    assert "resuming at epoch 1" in log
+    assert "Train at epoch #1" in log
+
+
+def test_preemption_stage1_resume(tmp_path, monkeypatch):
+    """Stage-1 runs (component-style regular saves) resume from the
+    _preempt full-state save too."""
+    monkeypatch.setattr(engine, "PreemptionGuard", lambda: _FakeGuard(2))
+    cfg1 = _smoke_cfg(tmp_path, max_epoch=5, exp_note="pre1",
+                      exp_name="preempt1_exp", training_stage=1,
+                      test_before_train=False)
+    train_net(cfg1)
+    pre = [f for f in os.listdir(cfg1.result_path)
+           if f.endswith("_preempt.ckpt")]
+    assert pre == ["stage1_epoch0_preempt.ckpt"]
+
+    monkeypatch.setattr(engine, "PreemptionGuard", PreemptionGuard)
+    cfg2 = _smoke_cfg(tmp_path, max_epoch=1, exp_note="pre1",
+                      exp_name="preempt1_exp", training_stage=1,
+                      test_before_train=False, auto_resume=True)
+    train_net(cfg2, max_steps_per_epoch=2)
+    log = open(os.path.join(cfg2.result_path, "log.txt")).read()
+    assert "Resuming stage1" in log
+    assert "Train at epoch #1" in log
+
+
+def test_guard_degrades_off_main_thread():
+    """Installed off the main thread the guard is inert, not an error
+    (embedding the engine in a worker thread keeps working)."""
+    import threading
+
+    result = {}
+
+    def run():
+        with PreemptionGuard() as guard:
+            result["armed"] = guard.armed
+            result["stop"] = guard.should_stop
+
+    t = threading.Thread(target=run)
+    t.start()
+    t.join()
+    assert result == {"armed": False, "stop": False}
