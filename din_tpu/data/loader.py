@@ -62,6 +62,17 @@ class BatchLoader:
         self.process_count = process_count or 1
         self.decode_ahead = max(1, decode_ahead)
         self.epoch = 0
+        self._skip = 0
+
+    def set_epoch(self, epoch: int, skip_batches: int = 0) -> None:
+        """Pin the shuffle epoch (torch ``DistributedSampler.set_epoch``
+        convention): data order becomes a pure function of (seed, epoch),
+        so a resumed run sees the same order as an uninterrupted one.
+        ``skip_batches`` drops the first n batches of the NEXT iteration
+        without decoding them — exact mid-epoch resume (train/preempt.py).
+        Without set_epoch the loader keeps its legacy auto-increment."""
+        self.epoch = epoch
+        self._skip = skip_batches
 
     def _local_count(self) -> int:
         return len(range(self.process_index, len(self.dataset),
@@ -81,6 +92,12 @@ class BatchLoader:
             order = order[self.process_index::self.process_count]
         self.epoch += 1
         nb = len(self)
+        if self._skip:
+            # mid-epoch resume: drop already-consumed batches index-only
+            # (no decode); every process skips the same count
+            order = order[self._skip * self.batch_size:]
+            nb = max(0, nb - self._skip)
+            self._skip = 0
         # decode-ahead ring buffer: sample futures for up to `decode_ahead`
         # upcoming batches are in flight while the current batch is consumed
         # (on top of this, prefetch_to_device overlaps the host->device copy)

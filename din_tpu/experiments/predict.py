@@ -60,7 +60,8 @@ class Predictor:
         model = build_model(cfg)
         variables = init_model(cfg, model, sample)
         if ckpt_path:
-            variables, _, _ = ckpt_lib.load_stage2_model(variables, ckpt_path)
+            variables, _, _, _ = ckpt_lib.load_stage2_model(variables,
+                                                            ckpt_path)
         return cls(cfg, variables)
 
     def __call__(self, images, boxes, bboxes_num=None) -> Dict:

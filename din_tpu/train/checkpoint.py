@@ -121,7 +121,11 @@ def load_partial(params: Dict[str, Any], saved_flat: Dict[str, np.ndarray],
 
 def load_stage2_model(variables: Dict[str, Any], path: str):
     """Full stage-2 resume (train_net_dynamic.py:84-89): restores variables
-    by template; returns (variables, epoch, opt_state_raw or None)."""
+    by template; returns (variables, epoch, opt_state_raw or None, extras).
+    ``extras`` carries the mid-epoch resume fields the preemption save
+    writes (train/preempt.py): ``step`` (completed steps of the
+    interrupted epoch) and ``rng`` (the step PRNG key) — absent/default
+    for regular per-eval checkpoints."""
     ckpt = load_checkpoint(path)
     restored = serialization.from_state_dict(
         {"params": variables["params"],
@@ -131,4 +135,5 @@ def load_stage2_model(variables: Dict[str, Any], path: str):
     out["params"] = restored["params"]
     if "batch_stats" in variables:
         out["batch_stats"] = restored["batch_stats"]
-    return out, int(ckpt.get("epoch", 0)), ckpt.get("opt_state")
+    extras = {"step": int(ckpt.get("step", 0)), "rng": ckpt.get("rng")}
+    return out, int(ckpt.get("epoch", 0)), ckpt.get("opt_state"), extras

@@ -228,6 +228,7 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
 
     # weight loading (train_net_dynamic.py:75-93)
     start_epoch, resumed_opt = 1, None
+    resume_step, resume_rng = 0, None    # mid-epoch preemption resume
     if getattr(cfg, "ref_checkpoint_path", ""):
         # migration path: graft a checkpoint saved by the reference
         # framework (either .pth format — nn/ref_import.py)
@@ -244,23 +245,27 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
             print_log(cfg.log_path,
                       "Loaded stage1 backbone: " + cfg.stage1_model_path)
         elif cfg.load_stage2model and cfg.stage2model:
-            variables, last_epoch, resumed_opt = ckpt_lib.load_stage2_model(
-                variables, cfg.stage2model)
+            (variables, last_epoch, resumed_opt,
+             extras) = ckpt_lib.load_stage2_model(variables, cfg.stage2model)
             start_epoch = last_epoch + 1
+            resume_step, resume_rng = extras["step"], extras["rng"]
             print_log(cfg.log_path,
-                      "Loading stage2 model: %s (resuming at epoch %d)"
-                      % (cfg.stage2model, start_epoch))
+                      "Loading stage2 model: %s (resuming at epoch %d%s)"
+                      % (cfg.stage2model, start_epoch,
+                         ", step %d" % resume_step if resume_step else ""))
         else:
             print_log(cfg.log_path, "Not loading stage1 or stage2 model.")
     elif cfg.load_stage2model and cfg.stage2model:
         # stage-1 preemption resume: the _preempt emergency save is the
         # same full-state payload load_stage2_model restores by template
-        variables, last_epoch, resumed_opt = ckpt_lib.load_stage2_model(
-            variables, cfg.stage2model)
+        (variables, last_epoch, resumed_opt,
+         extras) = ckpt_lib.load_stage2_model(variables, cfg.stage2model)
         start_epoch = last_epoch + 1
+        resume_step, resume_rng = extras["step"], extras["rng"]
         print_log(cfg.log_path,
-                  "Resuming stage1 from %s (epoch %d)"
-                  % (cfg.stage2model, start_epoch))
+                  "Resuming stage1 from %s (epoch %d%s)"
+                  % (cfg.stage2model, start_epoch,
+                     ", step %d" % resume_step if resume_step else ""))
     elif cfg.pretrained_backbone_path:
         from din_tpu.nn.torch_port import (convert_backbone_state,
                                            torch_file_to_numpy)
@@ -292,10 +297,11 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
         # full resume incl. Adam moments (the reference saves but never
         # restores optimizer state, train_net.py:99,121-125 — fixed here)
         opt_state = flax.serialization.from_state_dict(opt_state, resumed_opt)
+    rng = jax.random.PRNGKey(cfg.train_random_seed + 7) \
+        if resume_rng is None else jnp.asarray(resume_rng)
     state = TrainState(params=variables["params"],
                        batch_stats=variables.get("batch_stats", {}),
-                       opt_state=opt_state,
-                       rng=jax.random.PRNGKey(cfg.train_random_seed + 7))
+                       opt_state=opt_state, rng=rng)
     state = jax.device_put(state, rep_sharding)
 
     has_bn = bool(variables.get("batch_stats"))
@@ -337,40 +343,50 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
         info = run_eval(state, 0)
         show_epoch_info("Test", cfg.log_path, info)
 
-    def save_preempt(state, last_done_epoch):
+    def save_preempt(state, last_done_epoch, steps_done):
         """Full-state emergency save; filename matches the auto_resume
-        epoch-number grammar so the next launch resumes the interrupted
-        epoch (train/preempt.py)."""
+        epoch-number grammar, and the payload carries the completed step
+        count + step PRNG so the resumed run continues the interrupted
+        epoch EXACTLY where it stopped (train/preempt.py; loader
+        set_epoch makes the data order resume-invariant)."""
         path = os.path.join(
             cfg.result_path, "stage%d_epoch%d_preempt.ckpt"
             % (cfg.training_stage, last_done_epoch))
         ckpt_lib.save_checkpoint(path, {
             "epoch": last_done_epoch,
+            "step": steps_done,
+            "rng": np.asarray(state.rng),
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": flax.serialization.to_state_dict(state.opt_state),
         }, backend=getattr(cfg, "checkpoint_backend", "msgpack"))
         print_log(cfg.log_path,
-                  "preemption: state saved to %s — resume with "
-                  "auto_resume=True" % path)
+                  "preemption: state saved to %s (epoch %d, %d steps done) "
+                  "— resume with auto_resume=True"
+                  % (path, last_done_epoch + 1, steps_done))
 
     guard_ctx = PreemptionGuard() if getattr(
         cfg, "graceful_preemption", True) else contextlib.nullcontext()
     with guard_ctx as guard:
         return _epoch_loop(cfg, state, guard, best, total_timer, start_epoch,
                            train_loader, train_step, data_sharding, run_eval,
-                           save_preempt, max_steps_per_epoch)
+                           save_preempt, max_steps_per_epoch, resume_step)
 
 
 def _epoch_loop(cfg, state, guard, best, total_timer, start_epoch,
                 train_loader, train_step, data_sharding, run_eval,
-                save_preempt, max_steps_per_epoch):
+                save_preempt, max_steps_per_epoch, resume_step=0):
     for epoch in range(start_epoch, start_epoch + cfg.max_epoch):
         if epoch in cfg.lr_plan:
             print_log(cfg.log_path,
                       "change learning rate: %g" % cfg.lr_plan[epoch])
         state = state.replace(opt_state=set_learning_rate(
             state.opt_state, lr_for_epoch(cfg, epoch)))
+        # resume-invariant data order: shuffle is a pure function of
+        # (seed, epoch); the first epoch after a mid-epoch preemption skips
+        # its already-consumed batches
+        skipped = resume_step if epoch == start_epoch else 0
+        train_loader.set_epoch(epoch, skip_batches=skipped)
 
         timer = Timer()
         metrics = []
@@ -385,9 +401,9 @@ def _epoch_loop(cfg, state, guard, best, total_timer, start_epoch,
                 metrics.append(m)
                 if guard is not None and guard.should_stop:
                     # preemption: save at the step boundary (never inside
-                    # the compiled step) and exit cleanly; the interrupted
-                    # epoch reruns from its start on resume
-                    save_preempt(state, epoch - 1)
+                    # the compiled step) and exit cleanly; resume continues
+                    # this epoch at the next batch
+                    save_preempt(state, epoch - 1, skipped + i + 1)
                     return best
                 if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
                     break

@@ -254,3 +254,40 @@ def test_packed_frame_store(tmp_path):
     src = make_frame_source(cfg.replace(decode_cache_mb=32,
                                         packed_frames_path=out))
     assert isinstance(src, PackedFrameStore) and len(src) == 18
+
+
+def test_loader_set_epoch_determinism():
+    """set_epoch pins the shuffle: order is a pure function of
+    (seed, epoch) — resume-invariant — and skip_batches drops exactly the
+    already-consumed batches (data/loader.py)."""
+
+    class _Idx:
+        def __len__(self):
+            return 24
+
+        def __getitem__(self, i):
+            return {"x": np.asarray([i])}
+
+    def order_of(loader):
+        return [int(x) for b in iter(loader) for x in b["x"][:, 0]]
+
+    a = BatchLoader(_Idx(), 4, shuffle=True, num_workers=1)
+    b = BatchLoader(_Idx(), 4, shuffle=True, num_workers=1)
+    a.set_epoch(5)
+    b.set_epoch(5)
+    five = order_of(a)
+    assert five == order_of(b)
+    b.set_epoch(6)
+    assert five != order_of(b)
+
+    # legacy auto-increment unchanged: successive epochs differ
+    c = BatchLoader(_Idx(), 4, shuffle=True, num_workers=1)
+    assert order_of(c) != order_of(c)
+
+    # skip_batches resumes the SAME epoch order at the next batch
+    a.set_epoch(5)
+    full = order_of(a)
+    a.set_epoch(5, skip_batches=3)
+    assert order_of(a) == full[12:]
+    a.set_epoch(5)                       # skip is one-shot
+    assert order_of(a) == full

@@ -116,3 +116,48 @@ def test_guard_degrades_off_main_thread():
     t.start()
     t.join()
     assert result == {"armed": False, "stop": False}
+
+
+def test_exact_mid_epoch_resume(tmp_path, monkeypatch):
+    """A preempted-then-resumed run reproduces the uninterrupted run's
+    parameters EXACTLY: the save carries step count + step PRNG, and the
+    loader's set_epoch makes data order a pure function of (seed, epoch)
+    so the resumed epoch continues at the next batch."""
+    import numpy as np
+    from din_tpu.train import checkpoint as ckpt_lib
+
+    # run A: 2 uninterrupted epochs
+    cfgA = _smoke_cfg(tmp_path, max_epoch=2, exp_note="ex",
+                      exp_name="exactA")
+    train_net(cfgA)
+
+    # run B: preempt after 4 steps of epoch 1, then auto-resume to epoch 2
+    monkeypatch.setattr(engine, "PreemptionGuard", lambda: _FakeGuard(3))
+    cfgB1 = _smoke_cfg(tmp_path, max_epoch=5, exp_note="ex",
+                       exp_name="exactB")
+    train_net(cfgB1)
+    pre = [f for f in os.listdir(cfgB1.result_path)
+           if f.endswith("_preempt.ckpt")]
+    assert pre == ["stage2_epoch0_preempt.ckpt"]
+    assert ckpt_lib.load_checkpoint(
+        os.path.join(cfgB1.result_path, pre[0]))["step"] == 4
+
+    monkeypatch.setattr(engine, "PreemptionGuard", PreemptionGuard)
+    cfgB2 = _smoke_cfg(tmp_path, max_epoch=2, exp_note="ex",
+                       exp_name="exactB", auto_resume=True)
+    train_net(cfgB2)
+    log = open(os.path.join(cfgB2.result_path, "log.txt")).read()
+    assert "resuming at epoch 1, step 4" in log
+
+    def epoch2_params(result_path):
+        f = [f for f in os.listdir(result_path)
+             if f.startswith("stage2_epoch2_")]
+        assert len(f) == 1, f
+        return ckpt_lib.load_checkpoint(os.path.join(result_path, f[0]))
+
+    a = epoch2_params(cfgA.result_path)
+    b = epoch2_params(cfgB2.result_path)
+    import jax
+    for la, lb in zip(jax.tree_util.tree_leaves(a["params"]),
+                      jax.tree_util.tree_leaves(b["params"])):
+        np.testing.assert_allclose(la, lb, rtol=1e-6, atol=1e-7)
