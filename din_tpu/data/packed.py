@@ -114,13 +114,13 @@ class PackedFrameStore:
         data_off = len(_MAGIC) + 8 + hlen
         data_off += (-data_off) % _ALIGN
         frame_bytes = self.height * self.width * 3
+        expected = data_off + len(self.keys) * frame_bytes
+        if os.path.getsize(path) < expected:   # before memmap: its own
+            raise ValueError(f"{path}: truncated ({os.path.getsize(path)} "
+                             f"< {expected} bytes)")  # error is cryptic
         self._mm = np.memmap(path, np.uint8, mode="r", offset=data_off,
                              shape=(len(self.keys), self.height,
                                     self.width, 3))
-        expected = data_off + len(self.keys) * frame_bytes
-        if os.path.getsize(path) < expected:
-            raise ValueError(f"{path}: truncated ({os.path.getsize(path)} "
-                             f"< {expected} bytes)")
         self._index: Dict[str, int] = {k: i for i, k in enumerate(self.keys)}
         # suffix indices for relocatable lookup; ambiguous suffixes map to -1
         self._suffix: Dict[str, int] = {}

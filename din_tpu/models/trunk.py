@@ -100,10 +100,21 @@ class Trunk(nn.Module):
     # None (default) adds no constraints.  cfg.frame_parallel wires this.
     frame_axes: Optional[Tuple[str, ...]] = None
 
+    def _frame_mesh_ready(self) -> bool:
+        """frame_axes constraints resolve only against an ambient mesh
+        (jax.set_mesh — the engine installs it).  Outside one (Predictor,
+        bare init, CPU tools) the constraints are silently skipped so a
+        frame_parallel cfg stays usable everywhere."""
+        if not self.frame_axes:
+            return False
+        mesh = jax.sharding.get_abstract_mesh()
+        return not mesh.empty and \
+            set(self.frame_axes) <= set(mesh.axis_names)
+
     def _shard_frames(self, x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
         """Constrain dim `axis` of x (the flattened frame axis) to the
         merged frame mesh axes, e.g. P(('data','model'), ...)."""
-        if not self.frame_axes:
+        if not self._frame_mesh_ready():
             return x
         from jax.sharding import PartitionSpec as P
         axes = tuple(self.frame_axes)
@@ -207,7 +218,7 @@ class Trunk(nn.Module):
                             self.crop_size, impl=self.roi_align_impl)
         KH, KW = self.crop_size
         roi = roi.reshape(B, T, N, KH, KW, roi.shape[-1])
-        if self.frame_axes:
+        if self._frame_mesh_ready():
             # gather the per-clip frames back to batch-over-'data' for the
             # reasoning head (which mixes across T)
             from jax.sharding import PartitionSpec as P

@@ -152,6 +152,22 @@ def _epoch_info(metric_list, epoch, elapsed, num_activities):
     return info
 
 
+def newest_resumable(result_path: str, training_stage: int):
+    """Newest resumable checkpoint in result_path, or None.  Stage 2 saves
+    full state every eval; stage 1's regular saves are component-style
+    (not resumable), so only its _preempt full-state emergency saves
+    (train/preempt.py) qualify.  Tie-break: a _preempt save carries the
+    same epoch number as that epoch's regular eval save but is strictly
+    newer work (mid-NEXT-epoch state) — prefer it at equal epoch."""
+    ckpts = [f for f in os.listdir(result_path) if f.endswith(".ckpt")]
+    if training_stage == 1:
+        ckpts = [f for f in ckpts if "_preempt" in f]
+    ckpts = sorted(ckpts,
+                   key=lambda f: (int(f.split("epoch")[1].split("_")[0]),
+                                  "_preempt" in f))
+    return os.path.join(result_path, ckpts[-1]) if ckpts else None
+
+
 def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
     """Full training driver (reference train_net.py:28-137).  Returns the
     best eval info dict."""
@@ -168,14 +184,9 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
     # component-style (not resumable), so only its _preempt full-state
     # emergency saves (train/preempt.py) qualify.
     if cfg.auto_resume and not cfg.stage2model:
-        ckpts = [f for f in os.listdir(cfg.result_path)
-                 if f.endswith(".ckpt")]
-        if cfg.training_stage == 1:
-            ckpts = [f for f in ckpts if "_preempt" in f]
-        ckpts = sorted(ckpts,
-                       key=lambda f: int(f.split("epoch")[1].split("_")[0]))
-        if ckpts:
-            cfg.stage2model = os.path.join(cfg.result_path, ckpts[-1])
+        newest = newest_resumable(cfg.result_path, cfg.training_stage)
+        if newest:
+            cfg.stage2model = newest
             cfg.load_stage2model = True
             cfg.load_backbone_stage2 = False
 
@@ -315,16 +326,22 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
             and cfg.training_stage == 2:
         mad_step = make_mad_step(model, cfg)
 
-    def run_eval(state, epoch):
+    def run_eval(state, epoch, stop=None):
         from din_tpu.utils.meters import MADmeter
         timer = Timer()
         metrics = []
+        preempted = False
         mad_meter = MADmeter(cfg.num_frames, cfg.num_boxes) \
             if mad_step is not None else None
         for batch in prefetch_to_device(iter(val_loader),
                                         size=cfg.prefetch_depth,
                                         sharding=data_sharding):
             metrics.append(eval_step(state.params, state.batch_stats, batch))
+            if stop is not None and stop():
+                # preemption mid-eval: abort so the emergency save happens
+                # within the grace window, not after a full eval pass
+                preempted = True
+                break
             if mad_meter is not None:
                 nodes = np.asarray(
                     mad_step(state.params, state.batch_stats, batch))
@@ -335,13 +352,12 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
                            cfg.num_activities)
         if mad_meter is not None:
             info["MAD"] = float(mad_meter.output_MAD())
+        if preempted:
+            info["preempted"] = True
         return info
 
     best = {"epoch": 0, "activities_acc": 0.0}
     total_timer = Timer()
-    if cfg.test_before_train:
-        info = run_eval(state, 0)
-        show_epoch_info("Test", cfg.log_path, info)
 
     def save_preempt(state, last_done_epoch, steps_done):
         """Full-state emergency save; filename matches the auto_resume
@@ -368,12 +384,30 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
     guard_ctx = PreemptionGuard() if getattr(
         cfg, "graceful_preemption", True) else contextlib.nullcontext()
     with guard_ctx as guard:
-        return _epoch_loop(cfg, state, guard, best, total_timer, start_epoch,
+        def stop():
+            # the stop decision must be GLOBAL on multi-host jobs: a host
+            # that stopped while another entered the next step's gradient
+            # all-reduce deadlocks it — agree by all-gathering the local
+            # flag (every host calls this at every boundary)
+            local = guard is not None and guard.should_stop
+            if pc > 1:
+                from jax.experimental import multihost_utils
+                return bool(multihost_utils.process_allgather(
+                    np.int32(local)).max())
+            return bool(local)
+
+        if cfg.test_before_train:
+            info = run_eval(state, 0, stop)
+            if info.pop("preempted", False):
+                save_preempt(state, start_epoch - 1, resume_step)
+                return best
+            show_epoch_info("Test", cfg.log_path, info)
+        return _epoch_loop(cfg, state, stop, best, total_timer, start_epoch,
                            train_loader, train_step, data_sharding, run_eval,
                            save_preempt, max_steps_per_epoch, resume_step)
 
 
-def _epoch_loop(cfg, state, guard, best, total_timer, start_epoch,
+def _epoch_loop(cfg, state, stop, best, total_timer, start_epoch,
                 train_loader, train_step, data_sharding, run_eval,
                 save_preempt, max_steps_per_epoch, resume_step=0):
     for epoch in range(start_epoch, start_epoch + cfg.max_epoch):
@@ -399,7 +433,7 @@ def _epoch_loop(cfg, state, guard, best, total_timer, start_epoch,
                     sharding=data_sharding)):
                 state, m = train_step(state, batch)
                 metrics.append(m)
-                if guard is not None and guard.should_stop:
+                if stop():
                     # preemption: save at the step boundary (never inside
                     # the compiled step) and exit cleanly; resume continues
                     # this epoch at the next batch
@@ -412,7 +446,12 @@ def _epoch_loop(cfg, state, guard, best, total_timer, start_epoch,
         show_epoch_info("Train", cfg.log_path, info)
 
         if epoch % cfg.test_interval_epoch == 0:
-            test_info = run_eval(state, epoch)
+            test_info = run_eval(state, epoch, stop)
+            if test_info.pop("preempted", False):
+                # epoch finished training; save it complete (step 0) and
+                # skip best-tracking on the partial eval
+                save_preempt(state, epoch, 0)
+                return best
             show_epoch_info("Test", cfg.log_path, test_info)
             if test_info["activities_acc"] > best["activities_acc"]:
                 best = test_info

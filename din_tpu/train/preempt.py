@@ -12,12 +12,17 @@ compiled step), writes a full-state checkpoint
 epoch) and returns cleanly.  ``cfg.auto_resume`` then picks the file up
 on the next launch and continues at the interrupted epoch.
 
-Multi-host note: SIGTERM delivery is per-process.  With the msgpack
-backend every process writes its (replicated) state to its own local
-path, so any surviving host can resume; with the orbax backend the save
-is collective — fleets that preempt hosts independently should keep
-``checkpoint_backend='msgpack'`` for the emergency save or ensure the
-whole job receives the signal (the usual pod-reclaim behaviour).
+Multi-host note: SIGTERM delivery is per-process, but the STOP decision
+must be global — a host that stops while another has entered the next
+step's gradient all-reduce deadlocks it.  The engine therefore
+all-gathers the local flag at every step boundary (every host
+participates every step) and acts only on the agreed maximum.  For the
+save itself: with the msgpack backend every process writes its
+(replicated) state to its own local path, so any surviving host can
+resume; with the orbax backend the save is collective — fleets that
+preempt hosts independently should keep ``checkpoint_backend='msgpack'``
+for the emergency save or ensure the whole job receives the signal (the
+usual pod-reclaim behaviour).
 """
 
 from __future__ import annotations

@@ -161,3 +161,61 @@ def test_exact_mid_epoch_resume(tmp_path, monkeypatch):
     for la, lb in zip(jax.tree_util.tree_leaves(a["params"]),
                       jax.tree_util.tree_leaves(b["params"])):
         np.testing.assert_allclose(la, lb, rtol=1e-6, atol=1e-7)
+
+
+def test_newest_resumable_prefers_preempt_on_epoch_tie(tmp_path):
+    """A _preempt save shares its epoch number with that epoch's regular
+    eval save but is mid-NEXT-epoch state — it must win the tie regardless
+    of directory order (code-review finding)."""
+    from din_tpu.train.engine import newest_resumable
+
+    for name in ("stage2_epoch3_91.25%.ckpt", "stage2_epoch3_preempt.ckpt",
+                 "stage2_epoch2_90.00%.ckpt"):
+        open(os.path.join(str(tmp_path), name), "wb").close()
+    got = newest_resumable(str(tmp_path), training_stage=2)
+    assert got.endswith("stage2_epoch3_preempt.ckpt")
+    # stage 1: only _preempt files are resumable
+    got1 = newest_resumable(str(tmp_path), training_stage=1)
+    assert got1.endswith("stage2_epoch3_preempt.ckpt")
+
+
+def test_preemption_during_eval_aborts_and_saves(tmp_path, monkeypatch):
+    """A preemption that lands during the per-epoch eval pass aborts the
+    eval and saves immediately (epoch complete, step 0) instead of
+    deferring past the grace window (code-review finding)."""
+    # 2 train steps consume 2 guard queries; the 3rd lands on an eval batch
+    monkeypatch.setattr(engine, "PreemptionGuard", lambda: _FakeGuard(2))
+    cfg = _smoke_cfg(tmp_path, max_epoch=3, exp_note="ev",
+                     exp_name="preempt_eval_exp")
+    train_net(cfg, max_steps_per_epoch=2)
+    pre = [f for f in os.listdir(cfg.result_path)
+           if f.endswith("_preempt.ckpt")]
+    assert pre == ["stage2_epoch1_preempt.ckpt"]   # epoch 1 COMPLETE
+    from din_tpu.train import checkpoint as ckpt_lib
+    ck = ckpt_lib.load_checkpoint(os.path.join(cfg.result_path, pre[0]))
+    assert ck["epoch"] == 1 and ck["step"] == 0
+    # no best/regular checkpoint recorded from the partial eval
+    assert not [f for f in os.listdir(cfg.result_path)
+                if f.startswith("stage2_epoch1_") and "preempt" not in f]
+
+
+def test_frame_parallel_cfg_usable_without_mesh(tmp_path):
+    """A frame_parallel cfg must stay usable outside train_net (Predictor,
+    bare init): the trunk's sharding constraints are skipped when no
+    ambient mesh carries the frame axes (code-review finding)."""
+    import jax
+    import numpy as np
+
+    from __graft_entry__ import _make_batch
+    from din_tpu.models.registry import build_model
+    from din_tpu.train.engine import init_model
+
+    cfg = PRESETS["synthetic_smoke"]().replace(
+        result_root=str(tmp_path), backbone="alex", out_size=(1, 2),
+        emb_features=256, frame_parallel=True)
+    model = build_model(cfg)
+    batch = _make_batch(cfg, batch_size=2)
+    variables = init_model(cfg, model, batch)   # no mesh installed
+    out = model.apply(variables, batch["images"], batch["boxes"],
+                      train=False)
+    assert np.asarray(out["activities"]).shape[0] == 2
