@@ -1,0 +1,69 @@
+"""bench.py driver contract: the primary stdout line must be strict JSON
+(the driver records the last parseable stdout line; BENCH_r02 was lost to
+rc=124 — the early-emit + sanitize path is load-bearing), and the clip
+fixture must match the training batch spec without the full-image randint
+that used to dominate loader measurements (PERF.md input-pipeline
+correction)."""
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+
+def test_dumps_is_strict_json_with_nan_fields():
+    """The early emit happens BEFORE mfu/mfu_useful are filled (NaN
+    placeholders) — the line must still parse under strict JSON."""
+    from bench import _dumps
+
+    primary = {"metric": "m", "value": 1.25, "mfu": float("nan"),
+               "nested": {"x": float("inf")}}
+    line = _dumps(primary)
+    parsed = json.loads(line, parse_constant=lambda c: pytest.fail(
+        f"non-strict JSON constant {c!r} in driver line"))
+    assert parsed["value"] == 1.25
+    assert parsed["mfu"] is None and parsed["nested"]["x"] is None
+
+
+def test_budget_gating(monkeypatch):
+    import bench
+
+    monkeypatch.setenv("DIN_TPU_BENCH_BUDGET_S", "10000")
+    assert bench._time_left(60, "x")
+    monkeypatch.setenv("DIN_TPU_BENCH_BUDGET_S", "0")
+    assert not bench._time_left(60, "x")
+
+
+def test_jpeg_clips_fixture_matches_batch_spec():
+    """_JpegClips items must stack into exactly the loader's batch spec:
+    uint8 [T,H,W,3] frames, f32 feature-coord boxes, i32 labels."""
+    from __graft_entry__ import _flagship_cfg
+    from bench import _JpegClips
+    from din_tpu.data.loader import BatchLoader
+
+    cfg = _flagship_cfg(tiny=True).replace(batch_size=2)
+    with tempfile.TemporaryDirectory() as td:
+        ds = _JpegClips(td, cfg, n_clips=4, pool=3)
+        batch = next(iter(BatchLoader(ds, 2, shuffle=False, num_workers=1)))
+        T, N = cfg.num_frames, cfg.num_boxes
+        H, W = cfg.image_size
+        OH, OW = cfg.out_size
+        assert batch["images"].shape == (2, T, H, W, 3)
+        assert batch["images"].dtype == np.uint8
+        assert batch["boxes"].shape == (2, T, N, 4)
+        assert batch["boxes"].dtype == np.float32
+        # boxes live in feature-map coordinates (volleyball.py:246-251);
+        # same formula as __graft_entry__._make_batch: x1 in [0, OW-2],
+        # x2 = x1 + 1.5 (may exceed tiny maps by <=1.5 — RoIAlign clamps)
+        assert float(batch["boxes"][..., 0].min()) >= 0
+        assert float(batch["boxes"][..., 2].max()) <= OW + 1.5
+        assert float(batch["boxes"][..., 3].max()) <= OH + 1.5
+        assert batch["actions"].dtype == np.int32
+        assert int(batch["actions"].max()) < cfg.num_actions
+        assert batch["activities"].shape == (2, T)
+        # determinism: same index -> same labels (epoch-stable)
+        a0 = ds[0]
+        b0 = ds[0]
+        np.testing.assert_array_equal(a0["boxes"], b0["boxes"])
