@@ -155,3 +155,42 @@ def test_mesh_shapes():
     cfg = Config("volleyball").replace(mesh_shape={"data": 4, "model": 2})
     mesh = make_mesh(cfg)
     assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_frame_parallel_partitions_trunk_flops():
+    """Scaling evidence beyond numerical equivalence: the frame-parallel
+    step's per-device compiled program must carry a small fraction of the
+    single-device flops — i.e. the backbone genuinely partitions over the
+    mesh rather than replicating (XLA cost analysis reports the
+    per-partition SPMD module)."""
+    from din_tpu.train.engine import make_train_step as mts
+    from din_tpu.train.optim import make_optimizer as mko
+
+    def flops_of(compiled):
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return float(dict(analysis)["flops"])
+
+    cfg, model, state, step, batch = _setup()
+    cfg = cfg.replace(frame_chunk=8)
+    tx = mko(cfg, state.params)
+    step1 = mts(build_model(cfg), cfg, tx, frame0_labels=True, has_bn=True,
+                donate=False)
+    dev0 = jax.devices()[0]
+    f_single = flops_of(step1.lower(jax.device_put(state, dev0),
+                                    jax.device_put(batch, dev0)).compile())
+
+    cfg_fp = cfg.replace(mesh_shape={"data": 4, "model": 2},
+                         frame_parallel=True)
+    mesh = make_mesh(cfg_fp)
+    step_fp = mts(build_model(cfg_fp), cfg_fp, tx, frame0_labels=True,
+                  has_bn=True, donate=False)
+    with jax.set_mesh(mesh):
+        state_r = jax.device_put(state, replicated_sharding(mesh))
+        batch_s = jax.device_put(batch, batch_sharding(mesh))
+        f_fp = flops_of(step_fp.lower(state_r, batch_s).compile())
+
+    # 16 frames over 8 devices: the trunk term should shrink ~8x; allow
+    # generous slack for the replicated optimizer/head/collective terms
+    assert f_fp < f_single / 3, (f_fp, f_single)
