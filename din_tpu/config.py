@@ -153,6 +153,9 @@ class Config:
     num_workers: int = 4                 # host decode threads
     decode_cache_mb: int = 0             # decoded-frame LRU budget (0 = off;
     # ~2.7 MB per 720p frame — data/cache.py)
+    hflip_prob: float = 0.0              # train-time horizontal flip with
+    # l/r activity swap (data/augment.py) — beyond-reference augmentation;
+    # keep 0 for parity runs (the reference never augments)
     packed_frames_path: Optional[str] = None  # mmap store of pre-decoded
     # frames (data/packed.py; pack via `python -m din_tpu.data.packed`) —
     # removes JPEG decode from the input path entirely; takes precedence

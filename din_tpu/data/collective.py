@@ -84,7 +84,7 @@ class CollectiveDataset:
 
     def __init__(self, anns, frames, images_path, image_size, feature_size,
                  num_boxes=13, num_frames=10, is_training=True,
-                 is_finetune=False, seed=0, cache=None):
+                 is_finetune=False, seed=0, cache=None, hflip_prob=0.0):
         self.anns = anns
         self.frames = list(frames)
         self.images_path = images_path
@@ -96,6 +96,7 @@ class CollectiveDataset:
         self.is_finetune = is_finetune
         self.rng = random.Random(seed)
         self.cache = cache          # din_tpu/data/cache.py FrameCache | None
+        self.hflip_prob = hflip_prob if is_training else 0.0
 
     def __len__(self):
         return len(self.frames)
@@ -138,10 +139,21 @@ class CollectiveDataset:
             boxes.append(np.asarray(frame_boxes, np.float32))
             actions.append(np.asarray(frame_actions, np.int32))
             activities.append(ACTIVITY5_TO_4[ann["group_activity"]])
+        images = np.stack(images)
+        boxes = np.stack(boxes)
+        counts = np.asarray(counts, np.int32)
+        if self.hflip_prob and self.rng.random() < self.hflip_prob:
+            # beyond-reference augmentation (data/augment.py): CAD classes
+            # carry no left/right semantics — mirror images + REAL boxes
+            # only (zero-padded slots must stay zero)
+            from din_tpu.data.augment import hflip_clip
+            mask = np.arange(self.num_boxes)[None, :] < counts[:, None]
+            images, boxes, _ = hflip_clip(images, boxes, float(OW),
+                                          box_mask=mask)
         return {
-            "images": np.stack(images),
-            "boxes": np.stack(boxes),
+            "images": images,
+            "boxes": boxes,
             "actions": np.stack(actions),
             "activities": np.asarray(activities, np.int32),
-            "bboxes_num": np.asarray(counts, np.int32),
+            "bboxes_num": counts,
         }

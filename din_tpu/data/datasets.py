@@ -31,6 +31,7 @@ def return_dataset(cfg):
                       num_boxes=cfg.num_boxes, num_before=cfg.num_before,
                       num_after=cfg.num_after,
                       is_finetune=(cfg.training_stage == 1),
+                      hflip_prob=getattr(cfg, "hflip_prob", 0.0),
                       cache=make_frame_source(cfg))  # shared by train+val
         return (VolleyballDataset(frames=train_frames, is_training=True,
                                   **common),
@@ -46,6 +47,7 @@ def return_dataset(cfg):
                       feature_size=cfg.out_size, num_boxes=cfg.num_boxes,
                       num_frames=cfg.num_frames,
                       is_finetune=(cfg.training_stage == 1),
+                      hflip_prob=getattr(cfg, "hflip_prob", 0.0),
                       cache=make_frame_source(cfg))  # shared by train+val
         return (CollectiveDataset(anns=train_anns, frames=train_frames,
                                   is_training=True, **common),

@@ -90,7 +90,7 @@ class VolleyballDataset:
     def __init__(self, anns, tracks, frames, images_path, image_size,
                  feature_size, inference_module_name, num_boxes=12,
                  num_before=4, num_after=4, is_training=True,
-                 is_finetune=False, seed=0, cache=None):
+                 is_finetune=False, seed=0, cache=None, hflip_prob=0.0):
         self.anns = anns
         self.tracks = tracks
         self.frames = list(frames)
@@ -105,6 +105,7 @@ class VolleyballDataset:
         self.is_finetune = is_finetune
         self.rng = random.Random(seed)
         self.cache = cache          # din_tpu/data/cache.py FrameCache | None
+        self.hflip_prob = hflip_prob if is_training else 0.0
 
     def __len__(self):
         return len(self.frames)
@@ -164,9 +165,20 @@ class VolleyballDataset:
             boxes.append(frame_boxes.astype(np.float32))
             actions.append(np.asarray(frame_actions, np.int32))
             activities.append(self.anns[sid][src_fid]["group_activity"])
+        images = np.stack(images)                             # [T,H,W,3] u8
+        boxes = np.stack(boxes)                               # [T,N,4] f32
+        activities = np.asarray(activities, np.int32)         # [T]
+        if self.hflip_prob and self.rng.random() < self.hflip_prob:
+            # beyond-reference augmentation (data/augment.py): mirror with
+            # the l_/r_ activity swap; per-actor actions are side-agnostic
+            from din_tpu.data.augment import (VOLLEY_ACTIVITY_HFLIP,
+                                              hflip_clip)
+            images, boxes, activities = hflip_clip(
+                images, boxes, float(OW), activities,
+                VOLLEY_ACTIVITY_HFLIP)
         return {
-            "images": np.stack(images),                       # [T,H,W,3] u8
-            "boxes": np.stack(boxes),                         # [T,N,4] f32
+            "images": images,
+            "boxes": boxes,
             "actions": np.stack(actions),                     # [T,N] i32
-            "activities": np.asarray(activities, np.int32),   # [T]
+            "activities": activities,
         }

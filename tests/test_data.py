@@ -291,3 +291,50 @@ def test_loader_set_epoch_determinism():
     assert order_of(a) == full[12:]
     a.set_epoch(5)                       # skip is one-shot
     assert order_of(a) == full
+
+
+def test_hflip_augmentation(tmp_path):
+    """Horizontal flip (data/augment.py): mirrored images, mirrored
+    feature-coord boxes, l/r activity swap for volleyball, eval-side off,
+    and zero-padding preserved under the collective box mask."""
+    from din_tpu.data.augment import VOLLEY_ACTIVITY_HFLIP, hflip_clip
+
+    tracks = _write_volleyball_fixture(str(tmp_path))
+    anns = volley_read_annotations(str(tmp_path / "0" / "annotations.txt"))
+    OW = 3
+    common = dict(anns={0: anns}, tracks=tracks, frames=[(0, 10)],
+                  images_path=str(tmp_path), image_size=(24, 32),
+                  feature_size=(2, OW), num_boxes=12,
+                  inference_module_name="dynamic_volleyball",
+                  is_finetune=False)
+    plain = VolleyballDataset(is_training=True, **common)[0]
+    flip = VolleyballDataset(is_training=True, hflip_prob=1.0, **common)[0]
+    np.testing.assert_array_equal(flip["images"],
+                                  plain["images"][:, :, ::-1])
+    np.testing.assert_allclose(flip["boxes"][..., 0],
+                               OW - plain["boxes"][..., 2], rtol=1e-6)
+    np.testing.assert_allclose(flip["boxes"][..., 2],
+                               OW - plain["boxes"][..., 0], rtol=1e-6)
+    np.testing.assert_array_equal(flip["boxes"][..., 1],
+                                  plain["boxes"][..., 1])
+    # fixture activity is r_set (0) -> l_set (4); actions side-agnostic
+    assert plain["activities"][0] == 0 and flip["activities"][0] == 4
+    np.testing.assert_array_equal(flip["actions"], plain["actions"])
+    # the swap is an involution covering all 8 classes
+    np.testing.assert_array_equal(
+        VOLLEY_ACTIVITY_HFLIP[VOLLEY_ACTIVITY_HFLIP], np.arange(8))
+
+    # eval side never flips, even with the knob set
+    ev = VolleyballDataset(is_training=False, hflip_prob=1.0, **common)[0]
+    np.testing.assert_array_equal(ev["images"], VolleyballDataset(
+        is_training=False, **common)[0]["images"])
+
+    # collective-style zero padding passes through under box_mask
+    boxes = np.zeros((1, 3, 4), np.float32)
+    boxes[0, 0] = [0.0, 0.5, 1.0, 1.5]          # one real actor of 3
+    imgs = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(1, 2, 4, 3)
+    mask = np.asarray([[True, False, False]])
+    fimgs, fboxes, _ = hflip_clip(imgs, boxes, 3.0, box_mask=mask)
+    np.testing.assert_allclose(fboxes[0, 0], [2.0, 0.5, 3.0, 1.5])
+    np.testing.assert_array_equal(fboxes[0, 1:], 0)
+    np.testing.assert_array_equal(fimgs, imgs[:, :, ::-1])
