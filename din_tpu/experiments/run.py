@@ -25,6 +25,21 @@ def main(argv=None):
                         help="also adopt the torch Adam moments/step/lr "
                              "from the reference full checkpoint and "
                              "resume at its epoch + 1")
+    parser.add_argument("--exp-name", default=None,
+                        help="fixed result dir name (required for "
+                             "--auto-resume across relaunches; default is "
+                             "timestamped)")
+    parser.add_argument("--auto-resume", action="store_true",
+                        help="resume the newest checkpoint in the result "
+                             "dir (incl. SIGTERM _preempt saves — "
+                             "train/preempt.py)")
+    parser.add_argument("--packed-frames-path", default=None,
+                        help="pre-decoded mmap frame store "
+                             "(python -m din_tpu.data.packed)")
+    parser.add_argument("--hflip-prob", type=float, default=None,
+                        help="train-time horizontal-flip probability "
+                             "(beyond-reference augmentation; keep unset "
+                             "for parity)")
     args = parser.parse_args(argv)
 
     cfg = PRESETS[args.preset]()
@@ -41,6 +56,14 @@ def main(argv=None):
         overrides["ref_checkpoint_path"] = args.ref_checkpoint_path
     if args.ref_resume_optimizer:
         overrides["ref_resume_optimizer"] = True
+    if args.exp_name:
+        overrides["exp_name"] = args.exp_name
+    if args.auto_resume:
+        overrides["auto_resume"] = True
+    if args.packed_frames_path:
+        overrides["packed_frames_path"] = args.packed_frames_path
+    if args.hflip_prob is not None:
+        overrides["hflip_prob"] = args.hflip_prob
     if overrides:
         cfg = cfg.replace(**overrides)
     best = train_net(cfg, max_steps_per_epoch=args.max_steps_per_epoch)
