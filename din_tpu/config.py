@@ -169,6 +169,9 @@ class Config:
     # next step boundary + clean exit (train/preempt.py); pair with
     # auto_resume to survive spot/maintenance reclaims
     checkpoint_backend: str = "msgpack"  # 'msgpack' file | 'orbax' dir (pod-safe)
+    keep_checkpoints: int = 0            # retain newest K regular stage-2
+    # saves (+ the best-acc one; _preempt always kept); 0 = keep all like
+    # the reference (train/checkpoint.py prune_checkpoints)
 
     # Derived at init_config()
     result_path: Optional[str] = None

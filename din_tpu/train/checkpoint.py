@@ -137,3 +137,35 @@ def load_stage2_model(variables: Dict[str, Any], path: str):
         out["batch_stats"] = restored["batch_stats"]
     extras = {"step": int(ckpt.get("step", 0)), "rng": ckpt.get("rng")}
     return out, int(ckpt.get("epoch", 0)), ckpt.get("opt_state"), extras
+
+
+def prune_checkpoints(result_path: str, stage: int, keep: int):
+    """Keep only the newest ``keep`` regular checkpoints of ``stage`` (plus
+    the highest-accuracy one and every _preempt emergency save).  The
+    reference keeps every per-eval file (train_net.py:120-128), which fills
+    a disk on long runs; ``cfg.keep_checkpoints=0`` (default) preserves
+    that behaviour.  Returns the removed filenames."""
+    import re
+    import shutil
+
+    pat = re.compile(r"^stage%d_epoch(\d+)_([0-9.]+)%%\.ckpt$" % stage)
+    entries = []
+    for f in os.listdir(result_path):
+        m = pat.match(f)
+        if m:
+            entries.append((int(m.group(1)), float(m.group(2)), f))
+    if keep <= 0 or len(entries) <= keep:
+        return []
+    entries.sort()                                  # by epoch
+    protected = {max(entries, key=lambda e: (e[1], e[0]))[2]}
+    protected.update(f for _, _, f in entries[-keep:])
+    removed = []
+    for _, _, f in entries:
+        if f not in protected:
+            path = os.path.join(result_path, f)
+            if os.path.isfile(path):
+                os.remove(path)
+            else:
+                shutil.rmtree(path)                 # orbax saves are dirs
+            removed.append(f)
+    return removed

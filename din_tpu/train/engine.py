@@ -125,7 +125,7 @@ def make_mad_step(model, cfg):
     return jax.jit(step)
 
 
-def _epoch_info(metric_list, epoch, elapsed, num_activities):
+def _epoch_info(metric_list, epoch, elapsed, num_activities, clips=None):
     conf = np.zeros((num_activities, num_activities), np.int64)
     loss_sum, n = 0.0, 0
     act_c = act_t = actn_c = actn_t = 0
@@ -149,6 +149,8 @@ def _epoch_info(metric_list, epoch, elapsed, num_activities):
     }
     if actn_t:
         info["actions_acc"] = 100.0 * actn_c / max(actn_t, 1)
+    if clips and elapsed > 0:
+        info["clips_per_sec"] = clips / elapsed
     return info
 
 
@@ -442,7 +444,8 @@ def _epoch_loop(cfg, state, stop, best, total_timer, start_epoch,
                 if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
                     break
         info = _epoch_info(metrics, epoch, timer.timeit(),
-                           cfg.num_activities)
+                           cfg.num_activities,
+                           clips=len(metrics) * cfg.batch_size)
         show_epoch_info("Train", cfg.log_path, info)
 
         if epoch % cfg.test_interval_epoch == 0:
@@ -474,6 +477,13 @@ def _epoch_loop(cfg, state, stop, best, total_timer, start_epoch,
                         state.opt_state),
                 }, backend=backend)
                 print_log(cfg.log_path, "model saved to: " + filepath)
+                if getattr(cfg, "keep_checkpoints", 0):
+                    removed = ckpt_lib.prune_checkpoints(
+                        cfg.result_path, cfg.training_stage,
+                        cfg.keep_checkpoints)
+                    if removed:
+                        print_log(cfg.log_path,
+                                  "pruned %d old checkpoints" % len(removed))
             elif test_info["activities_acc"] == best["activities_acc"]:
                 ckpt_lib.save_stage1_components(
                     filepath, {"params": state.params,

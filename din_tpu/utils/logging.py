@@ -42,6 +42,9 @@ def show_epoch_info(phase: str, log_path: Optional[str], info: dict) -> None:
         "Group Activity Accuracy: %.2f%%, Loss: %.5f, Using %.1f seconds"
         % (info["activities_acc"], info["loss"], info["time"]),
     )
+    if "clips_per_sec" in info:
+        print_log(log_path,
+                  "Throughput: %.2f clips/sec" % info["clips_per_sec"])
     if "actions_acc" in info:
         print_log(log_path, "Actions Accuracy: %.2f%%" % info["actions_acc"])
     if "activities_conf" in info:

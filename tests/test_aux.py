@@ -126,3 +126,37 @@ def test_orbax_checkpoint_roundtrip_and_resume(tmp_path):
     train_net(cfg2, max_steps_per_epoch=2)
     log = open(os.path.join(cfg2.result_path, "log.txt")).read()
     assert "resuming at epoch 3" in log
+
+
+def test_prune_checkpoints(tmp_path):
+    """Retention: newest K regular saves kept, plus the best-acc file;
+    _preempt and other-stage files untouched (train/checkpoint.py)."""
+    from din_tpu.train.checkpoint import prune_checkpoints
+
+    names = ["stage2_epoch1_80.00%.ckpt", "stage2_epoch2_95.00%.ckpt",
+             "stage2_epoch3_90.00%.ckpt", "stage2_epoch4_91.00%.ckpt",
+             "stage2_epoch2_preempt.ckpt", "stage1_epoch9_70.00%.ckpt"]
+    for n in names:
+        open(os.path.join(str(tmp_path), n), "wb").close()
+    removed = prune_checkpoints(str(tmp_path), stage=2, keep=2)
+    left = sorted(os.listdir(str(tmp_path)))
+    assert removed == ["stage2_epoch1_80.00%.ckpt"]
+    assert "stage2_epoch2_95.00%.ckpt" in left        # best acc protected
+    assert "stage2_epoch3_90.00%.ckpt" in left        # newest-2
+    assert "stage2_epoch4_91.00%.ckpt" in left
+    assert "stage2_epoch2_preempt.ckpt" in left       # emergency save kept
+    assert "stage1_epoch9_70.00%.ckpt" in left        # other stage kept
+    # keep=0 disables pruning (reference behaviour)
+    assert prune_checkpoints(str(tmp_path), stage=2, keep=0) == []
+
+
+def test_keep_checkpoints_engine(tmp_path):
+    """cfg.keep_checkpoints prunes after each stage-2 save in train_net."""
+    cfg = _smoke_cfg(tmp_path, max_epoch=3, exp_note="gc",
+                     backbone="alex", out_size=(1, 2), emb_features=256,
+                     keep_checkpoints=1)
+    train_net(cfg, max_steps_per_epoch=1)
+    regular = [f for f in os.listdir(cfg.result_path)
+               if f.endswith(".ckpt")]
+    # 3 epochs saved; retention keeps newest 1 + best (may coincide)
+    assert 1 <= len(regular) <= 2
