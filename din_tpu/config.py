@@ -81,6 +81,12 @@ class Config:
     train_dropout_prob: float = 0.3
     weight_decay: float = 0.0
     max_epoch: int = 30
+    # max_epoch counts epochs FROM the start epoch (reference semantics,
+    # train_net.py:100 — where start is always 1).  On auto_resume that
+    # means "N more epochs", which would extend a repeatedly-preempted
+    # run; set train_to_epoch for an absolute target (consistent with the
+    # absolute epoch keys of lr_plan) — it overrides max_epoch.
+    train_to_epoch: Optional[int] = None
     test_interval_epoch: int = 1
 
     # Experiment control (reference: config.py:74-81)

@@ -412,7 +412,9 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
 def _epoch_loop(cfg, state, stop, best, total_timer, start_epoch,
                 train_loader, train_step, data_sharding, run_eval,
                 save_preempt, max_steps_per_epoch, resume_step=0):
-    for epoch in range(start_epoch, start_epoch + cfg.max_epoch):
+    last_epoch = getattr(cfg, "train_to_epoch", None) or \
+        (start_epoch + cfg.max_epoch - 1)
+    for epoch in range(start_epoch, last_epoch + 1):
         if epoch in cfg.lr_plan:
             print_log(cfg.log_path,
                       "change learning rate: %g" % cfg.lr_plan[epoch])

@@ -219,3 +219,21 @@ def test_frame_parallel_cfg_usable_without_mesh(tmp_path):
     out = model.apply(variables, batch["images"], batch["boxes"],
                       train=False)
     assert np.asarray(out["activities"]).shape[0] == 2
+
+
+def test_train_to_epoch_absolute_target(tmp_path, monkeypatch):
+    """cfg.train_to_epoch is an absolute stop (consistent with lr_plan's
+    absolute keys): a preempted-and-relaunched run completes the original
+    plan instead of training max_epoch MORE epochs every relaunch."""
+    monkeypatch.setattr(engine, "PreemptionGuard", lambda: _FakeGuard(2))
+    cfg1 = _smoke_cfg(tmp_path, max_epoch=99, train_to_epoch=2,
+                      exp_note="tt", exp_name="tt_exp")
+    train_net(cfg1)                     # preempted in epoch 1
+
+    monkeypatch.setattr(engine, "PreemptionGuard", PreemptionGuard)
+    cfg2 = _smoke_cfg(tmp_path, max_epoch=99, train_to_epoch=2,
+                      exp_note="tt", exp_name="tt_exp", auto_resume=True)
+    train_net(cfg2, max_steps_per_epoch=2)
+    log = open(os.path.join(cfg2.result_path, "log.txt")).read()
+    assert "Train at epoch #2" in log
+    assert "Train at epoch #3" not in log    # absolute target respected
