@@ -36,6 +36,10 @@ def main(argv=None):
     parser.add_argument("--packed-frames-path", default=None,
                         help="pre-decoded mmap frame store "
                              "(python -m din_tpu.data.packed)")
+    parser.add_argument("--train-to-epoch", type=int, default=None,
+                        help="absolute stop epoch (overrides max_epoch; "
+                             "pair with --auto-resume so relaunches "
+                             "complete the original plan)")
     parser.add_argument("--hflip-prob", type=float, default=None,
                         help="train-time horizontal-flip probability "
                              "(beyond-reference augmentation; keep unset "
@@ -62,6 +66,8 @@ def main(argv=None):
         overrides["auto_resume"] = True
     if args.packed_frames_path:
         overrides["packed_frames_path"] = args.packed_frames_path
+    if args.train_to_epoch is not None:
+        overrides["train_to_epoch"] = args.train_to_epoch
     if args.hflip_prob is not None:
         overrides["hflip_prob"] = args.hflip_prob
     if overrides:
