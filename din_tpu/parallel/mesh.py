@@ -43,6 +43,26 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def frame_batch_sharding(mesh: Mesh):
+    """Input layout for sequence(frame) parallelism: batch over 'data' AND
+    the per-clip frame (T) axis over 'model', so the trunk's reshape to a
+    (B*T)-over-('data','model') frame axis is a LOCAL resharding on the
+    single-chunk path (dim merge with matching outer/inner shardings);
+    plain batch_sharding makes SPMD fully replicate the full-resolution
+    clip tensor first.  NOTE: the chunked scan path (frame_chunk < B*T)
+    still reshards at the chunk-packing reshape when chunk boundaries
+    don't align with shard boundaries — pick frame_chunk as a multiple
+    of the device count there.  Arrays without a frame axis (sample_mask
+    [B]) shard over 'data' only.  Returns a callable for
+    prefetch_to_device's per-batch sharding hook."""
+    def shard_for(batch):
+        return {k: NamedSharding(mesh, P("data", "model"))
+                if getattr(v, "ndim", 1) >= 2
+                else NamedSharding(mesh, P("data"))
+                for k, v in batch.items()}
+    return shard_for
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

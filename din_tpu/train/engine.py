@@ -27,8 +27,8 @@ import optax
 from din_tpu.data.datasets import return_dataset
 from din_tpu.data.loader import BatchLoader, prefetch_to_device
 from din_tpu.models.registry import build_model
-from din_tpu.parallel.mesh import (batch_sharding, make_mesh,
-                                   replicated_sharding)
+from din_tpu.parallel.mesh import (batch_sharding, frame_batch_sharding,
+                                   make_mesh, replicated_sharding)
 from din_tpu.train import checkpoint as ckpt_lib
 from din_tpu.train.losses import compute_losses
 from din_tpu.train.preempt import PreemptionGuard
@@ -214,6 +214,11 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
         # that resolve against the ambient mesh
         jax.set_mesh(mesh)
     _data_sharding = batch_sharding(mesh)
+    if getattr(cfg, "frame_parallel", False):
+        # batch over 'data' AND the frame (T) axis over 'model', so the
+        # trunk's (B*T)-frame resharding is local instead of SPMD's
+        # replicate-then-repartition fallback (parallel/mesh.py)
+        _data_sharding = frame_batch_sharding(mesh)
     rep_sharding = replicated_sharding(mesh)
     n_data = mesh.shape["data"]
 
@@ -222,7 +227,8 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
     def data_sharding(batch):
         # remainder eval batches that don't divide the data axis replicate
         if batch["images"].shape[0] % n_data == 0:
-            return _data_sharding
+            return _data_sharding(batch) if callable(_data_sharding) \
+                else _data_sharding
         if not warned_replicated:
             # with pad_last this only triggers on mis-set batch sizes; make
             # the silent compute degradation visible (VERDICT r2 weak #5)

@@ -135,9 +135,10 @@ def test_frame_parallel_matches_single_device():
     model_fp = build_model(cfg_fp)   # trunk carries frame_axes constraints
     step_fp = mts(model_fp, cfg_fp, tx, frame0_labels=True, has_bn=True,
                   donate=False)
+    from din_tpu.parallel.mesh import frame_batch_sharding
     with jax.set_mesh(mesh):
         state_r = jax.device_put(state, replicated_sharding(mesh))
-        batch_s = jax.device_put(batch, batch_sharding(mesh))
+        batch_s = jax.device_put(batch, frame_batch_sharding(mesh)(batch))
         new_s, m_s = step_fp(state_r, batch_s)
         jax.block_until_ready(m_s["loss"])
 
