@@ -55,9 +55,14 @@ def frame_batch_sharding(mesh: Mesh):
     of the device count there.  Arrays without a frame axis (sample_mask
     [B]) shard over 'data' only.  Returns a callable for
     prefetch_to_device's per-batch sharding hook."""
+    n_model = mesh.shape["model"]
+
     def shard_for(batch):
+        # device_put requires divisible dims: frame axes that don't divide
+        # the model axis (e.g. T=10, model=4) fall back to batch-only
+        # sharding — the trunk's internal constraint still spreads frames
         return {k: NamedSharding(mesh, P("data", "model"))
-                if getattr(v, "ndim", 1) >= 2
+                if getattr(v, "ndim", 1) >= 2 and v.shape[1] % n_model == 0
                 else NamedSharding(mesh, P("data"))
                 for k, v in batch.items()}
     return shard_for

@@ -3,6 +3,7 @@ the sharded step must produce the same update as single-device."""
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
 import numpy as np
 import pytest
 
@@ -195,3 +196,21 @@ def test_frame_parallel_partitions_trunk_flops():
     # 16 frames over 8 devices: the trunk term should shrink ~8x; allow
     # generous slack for the replicated optimizer/head/collective terms
     assert f_fp < f_single / 3, (f_fp, f_single)
+
+
+def test_frame_batch_sharding_uneven_frame_axis():
+    """T not divisible by the model axis falls back to batch-only sharding
+    (device_put rejects uneven dims); divisible T shards both axes."""
+    from din_tpu.parallel.mesh import frame_batch_sharding
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "model"))
+    shard_for = frame_batch_sharding(mesh)
+    batch = {"images": np.zeros((2, 10, 4, 4), np.uint8),   # T=10 % 4 != 0
+             "frames8": np.zeros((2, 8, 4), np.float32),    # divisible
+             "sample_mask": np.zeros((2,), np.float32)}
+    s = shard_for(batch)
+    put = jax.device_put(batch, s)                          # must not raise
+    assert s["images"].spec == P("data")
+    assert s["frames8"].spec == P("data", "model")
+    assert s["sample_mask"].spec == P("data")
+    assert put["images"].shape == (2, 10, 4, 4)
