@@ -194,35 +194,24 @@ def roi_align_multiscale(feature_maps, boxes: jax.Array,
 # Pallas kernel: fused interp-matrix build + MXU matmul, one frame per step
 # --------------------------------------------------------------------------
 
-def _roi_align_pallas_kernel(boxes_ref, feat_ref, out_ref, *, H, W, N, KH, KW):
+def _roi_align_pallas_kernel(ys_ref, xs_ref, feat_ref, out_ref, *, H, W):
     """Grid step = one frame.
 
-    boxes block [1, N, 4]; feat block [1, H*W, C]; out block [1, N*KH*KW, C].
-    Builds the [rows, H*W] interpolation matrix with broadcasted iota
-    one-hots (VPU) and contracts it against the feature block on the MXU.
+    ys/xs blocks [1, rows, 1] (per-row y,x sample centres — precomputed in
+    XLA by the SAME ``_sample_grid`` the onehot/gather paths and the
+    transposed-matmul backward use, so all impls and fwd/bwd agree bitwise
+    at border samples; deriving them in-kernel produced a different f32
+    rounding (FMA) and flipped the in-range test for samples landing
+    exactly on the map border); feat block [1, H*W, C]; out block
+    [1, rows, C].  Builds the [rows, H*W] interpolation matrix with
+    broadcasted iota one-hots (VPU) and contracts it against the feature
+    block on the MXU.
     """
     P = H * W
-    K2 = KH * KW
-    rows = N * K2
 
-    # Row r encodes (n, i, j) = (r // K2, (r // KW) % KH, r % KW).  Mosaic
-    # has no general gather and restricted reshapes, so per-row box params
-    # are assembled with a static select-loop over the N boxes (N <= 13).
-    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-    n_idx = r // K2
-    i_idx = ((r // KW) % KH).astype(jnp.float32)
-    j_idx = (r % KW).astype(jnp.float32)
-
-    ys = jnp.zeros((rows, 1), jnp.float32)
-    xs = jnp.zeros((rows, 1), jnp.float32)
-    for m in range(N):
-        x1m = boxes_ref[0, m, 0].astype(jnp.float32)
-        y1m = boxes_ref[0, m, 1].astype(jnp.float32)
-        x2m = boxes_ref[0, m, 2].astype(jnp.float32)
-        y2m = boxes_ref[0, m, 3].astype(jnp.float32)
-        sel = (n_idx == m)
-        ys = jnp.where(sel, y1m + (i_idx + 0.5) * ((y2m - y1m) / KH) - 0.5, ys)
-        xs = jnp.where(sel, x1m + (j_idx + 0.5) * ((x2m - x1m) / KW) - 0.5, xs)
+    ys = ys_ref[0]                                   # [rows, 1] f32
+    xs = xs_ref[0]
+    rows = ys.shape[0]
     ok = ((ys >= 0.0) & (ys <= H - 1) & (xs >= 0.0) & (xs <= W - 1))
     ysc = jnp.clip(ys, 0.0, H - 1)
     xsc = jnp.clip(xs, 0.0, W - 1)
@@ -266,13 +255,21 @@ def _roi_align_pallas_fwd_impl(features: jax.Array, boxes: jax.Array,
     P = H * W
     feat_flat = features.reshape(B, P, C)
 
-    kernel = functools.partial(
-        _roi_align_pallas_kernel, H=H, W=W, N=N, KH=KH, KW=KW)
+    # per-row sample centres from the shared _sample_grid (see kernel doc)
+    ys_g, xs_g = _sample_grid(boxes.astype(jnp.float32), crop_size)
+    ys_rows = jnp.broadcast_to(ys_g[:, :, :, None],
+                               (B, N, KH, KW)).reshape(B, rows, 1)
+    xs_rows = jnp.broadcast_to(xs_g[:, :, None, :],
+                               (B, N, KH, KW)).reshape(B, rows, 1)
+
+    kernel = functools.partial(_roi_align_pallas_kernel, H=H, W=W)
     out = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, N, 4), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, rows, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -286,7 +283,7 @@ def _roi_align_pallas_fwd_impl(features: jax.Array, boxes: jax.Array,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(boxes.astype(jnp.float32), feat_flat)
+    )(ys_rows, xs_rows, feat_flat)
     return out.reshape(B, N, KH, KW, C)
 
 

@@ -174,3 +174,52 @@ def test_multiscale_fusion_matches_materialized(rng):
     for a, b in zip(g_got, g_want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["onehot", "gather", "pallas_interpret"])
+def test_edge_boxes(rng, impl):
+    """The probe set that has caught real bugs (verify SKILL.md), codified:
+    zero-area boxes (collective zero-padding), boxes fully outside the
+    map (must contribute 0), and boxes straddling the border — all vs the
+    numpy oracle."""
+    H, W, C = 9, 13, 7
+    feats = rng.randn(2, H, W, C).astype(np.float32)
+    boxes = np.asarray([
+        [[0.0, 0.0, 0.0, 0.0],          # zero-area at origin (CAD padding)
+         [4.0, 3.0, 4.0, 3.0],          # zero-area interior
+         [-20.0, -20.0, -15.0, -15.0],  # fully outside (negative)
+         [50.0, 50.0, 60.0, 60.0],      # fully outside (positive)
+         [-3.0, -3.0, 4.0, 4.0]],       # straddles the top-left border
+        [[10.0, 6.0, 16.0, 12.0],       # straddles the bottom-right border
+         [0.0, 0.0, 12.0, 8.0],         # nearly whole map
+         [2.0, 2.0, 2.0, 5.0],          # zero width, finite height
+         [3.0, 4.0, 9.0, 4.0],          # zero height, finite width
+         [12.0, 8.0, 12.0, 8.0]],       # zero-area at far corner
+    ], np.float32)
+    ref = oracle_crop_and_resize(feats.astype(np.float64),
+                                 boxes.astype(np.float64), (5, 5))
+    got = roi_align(jnp.asarray(feats), jnp.asarray(boxes), (5, 5),
+                    impl=impl)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+    # fully-outside boxes are exactly zero
+    np.testing.assert_array_equal(np.asarray(got)[0, 2], 0.0)
+    np.testing.assert_array_equal(np.asarray(got)[0, 3], 0.0)
+
+
+@pytest.mark.parametrize("impl", ["onehot", "gather"])
+def test_bf16_forward_and_grad(rng, impl):
+    """bf16 features forward + grad-to-features compile and stay finite
+    (the Mosaic precision='highest'-rejects-bf16 class of bug)."""
+    feats = jnp.asarray(rng.randn(2, 9, 13, 4), jnp.bfloat16)
+    boxes = jnp.asarray(rng.uniform(1, 6, (2, 3, 4)).astype(np.float32))
+    boxes = boxes.at[..., 2:].add(3.0)
+
+    def loss(f):
+        return roi_align(f, boxes, (5, 5),
+                         impl=impl).astype(jnp.float32).sum()
+
+    val, grad = jax.jit(jax.value_and_grad(loss))(feats)
+    assert np.isfinite(float(val))
+    assert grad.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(grad, np.float32)).all()
+    assert float(jnp.abs(grad.astype(jnp.float32)).sum()) > 0
