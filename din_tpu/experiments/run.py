@@ -25,6 +25,8 @@ def main(argv=None):
                         help="also adopt the torch Adam moments/step/lr "
                              "from the reference full checkpoint and "
                              "resume at its epoch + 1")
+    parser.add_argument("--result-root", default=None,
+                        help="directory for result/<exp> output trees")
     parser.add_argument("--exp-name", default=None,
                         help="fixed result dir name (required for "
                              "--auto-resume across relaunches; default is "
@@ -60,6 +62,8 @@ def main(argv=None):
         overrides["ref_checkpoint_path"] = args.ref_checkpoint_path
     if args.ref_resume_optimizer:
         overrides["ref_resume_optimizer"] = True
+    if args.result_root:
+        overrides["result_root"] = args.result_root
     if args.exp_name:
         overrides["exp_name"] = args.exp_name
     if args.auto_resume:

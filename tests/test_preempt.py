@@ -237,3 +237,48 @@ def test_train_to_epoch_absolute_target(tmp_path, monkeypatch):
     log = open(os.path.join(cfg2.result_path, "log.txt")).read()
     assert "Train at epoch #2" in log
     assert "Train at epoch #3" not in log    # absolute target respected
+
+
+def test_sigterm_subprocess_integration(tmp_path):
+    """Full unix integration: a real `python -m din_tpu.experiments.run`
+    process receives SIGTERM mid-training, exits 0 with the emergency
+    checkpoint on disk (covers handler install in the CLI main thread —
+    the in-process tests above use injected guards)."""
+    import signal as _signal
+    import subprocess
+    import sys
+    import time
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # single CPU device: the inherited 8-virtual-device XLA flag would make
+    # the child replicate its batch and crawl (8x oversubscribed on 1 core)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-m", "din_tpu.experiments.run",
+         "--preset", "synthetic_smoke", "--exp-name", "sig_exp",
+         "--max-epoch", "50", "--result-root", str(tmp_path)],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    # wait for training to be under way (epoch-1 summary in the log file),
+    # then terminate mid-epoch-2
+    log = os.path.join(str(tmp_path), "sig_exp", "log.txt")
+    deadline = time.time() + 420
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            raise AssertionError("run exited early:\n"
+                                 + proc.communicate()[0][-2000:])
+        if os.path.exists(log) and "Train at epoch #1" in open(log).read():
+            break
+        time.sleep(1.0)
+    else:
+        proc.kill()
+        raise AssertionError("training never reached epoch 1")
+    time.sleep(2.0)                      # land inside epoch 2
+    proc.send_signal(_signal.SIGTERM)
+    out, _ = proc.communicate(timeout=240)
+    assert proc.returncode == 0, out[-2000:]
+    assert "preemption: state saved" in out
+    pre = [f for f in os.listdir(os.path.join(str(tmp_path), "sig_exp"))
+           if f.endswith("_preempt.ckpt")]
+    assert len(pre) == 1
