@@ -189,8 +189,17 @@ class Trunk(nn.Module):
                 in_axes=0, out_axes=0, **coll,
             )(bn_train=bn_train and not self.is_initializing(),
               **step_kwargs)
-            packed = self._shard_frames(
-                images.reshape(num_chunks, chunk, H, W * 3), axis=1)
+            if self._frame_mesh_ready():
+                # two-step reshape: merge [B,T]->[B*T] first (axes sharded
+                # over ('data','model') merge natively) so the SPMD
+                # partitioner only has to reshard the split, not recover
+                # the whole chain from [B,T,...] — avoids its involuntary
+                # full-rematerialisation fallback on the image tensor
+                flat = self._shard_frames(images.reshape(B * T, H, W * 3))
+                packed = self._shard_frames(
+                    flat.reshape(num_chunks, chunk, H, W * 3), axis=1)
+            else:
+                packed = images.reshape(num_chunks, chunk, H, W * 3)
             _, outs = scanned(None, packed)
             outputs = [self._shard_frames(
                 o.reshape((B * T,) + o.shape[2:])) for o in outs]
