@@ -31,6 +31,12 @@ long tail (loader device_put at ~13 MB/s over this environment's remote
 tunnel) outlived it.  DIN_TPU_BENCH_FAST=1 skips all secondaries;
 DIN_TPU_BENCH_FULL=1 additionally runs the loader-in-the-loop e2e bench
 (excluded by default: tunnel-capped, ~10 min).
+
+HLO flop counts (mfu / mfu_useful / secondary mfu) are constants of
+(source, config, jax version), not measurements — they are cached in
+``bench_flops_cache.json`` (committed) keyed by a fingerprint of all
+three, so a budgeted run fills every mfu field instantly; on a
+fingerprint miss the value is recomputed budget-gated and re-stored.
 """
 
 from __future__ import annotations
@@ -90,6 +96,72 @@ def _dumps(obj) -> str:
 
 def _log(obj):
     print(_dumps(obj), file=sys.stderr)
+
+
+# ---------------------------------------------------------------------------
+# Compiled-HLO flop cache.  The flop counts are CONSTANTS of (code, config,
+# jax version) — not measurements — but computing them costs AOT lowering +
+# a correction-program compile (~minutes over this environment's remote
+# tunnel), which is what kept mfu/mfu_useful out of budgeted runs.  The
+# cache file is committed so the driver's bench run fills the mfu fields
+# instantly; any source or config change invalidates the fingerprint and
+# the value is recomputed (budget-gated) and re-stored.
+_FLOPS_CACHE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_flops_cache.json")
+_SRC_HASH = None
+
+
+def _source_hash() -> str:
+    global _SRC_HASH
+    if _SRC_HASH is None:
+        import hashlib
+        h = hashlib.sha1()
+        root = os.path.dirname(os.path.abspath(__file__))
+        files = [os.path.abspath(__file__)]
+        for dirpath, _dirnames, filenames in os.walk(
+                os.path.join(root, "din_tpu")):
+            files.extend(os.path.join(dirpath, f)
+                         for f in filenames if f.endswith(".py"))
+        for f in sorted(files):
+            with open(f, "rb") as fh:
+                h.update(fh.read())
+        _SRC_HASH = h.hexdigest()[:16]
+    return _SRC_HASH
+
+
+def _cfg_fingerprint(cfg) -> str:
+    import hashlib
+
+    import jax
+    payload = "|".join([jax.__version__, _source_hash(), repr(cfg)])
+    return hashlib.sha1(payload.encode()).hexdigest()[:16]
+
+
+def _cached_flops(key: str, cfg, compute_fn, need_s: float, phase: str):
+    """Return (flops, from_cache).  Cache hit: instant.  Miss: compute if
+    the wall-clock budget allows, store, return; else (nan, False)."""
+    try:
+        with open(_FLOPS_CACHE_PATH) as f:
+            cache = json.load(f)
+    except Exception:
+        cache = {}
+    fp = _cfg_fingerprint(cfg)
+    ent = cache.get(key)
+    if isinstance(ent, dict) and ent.get("fp") == fp:
+        return float(ent["flops"]), True
+    if not _time_left(need_s, phase):
+        return float("nan"), False
+    flops = compute_fn()
+    if flops == flops:                           # not NaN
+        cache[key] = {"fp": fp, "flops": flops}
+        try:
+            tmp = _FLOPS_CACHE_PATH + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(cache, f, indent=1, sort_keys=True)
+            os.replace(tmp, _FLOPS_CACHE_PATH)
+        except Exception as e:
+            _log({"metric": "flops_cache_write_error", "error": str(e)[:200]})
+    return flops, False
 
 
 def _compiled_flops(step, *args) -> float:
@@ -265,25 +337,36 @@ def _flagship():
     _log({"metric": "flagship_loss", "value": loss})
 
     def fill_mfu(primary):
-        # exact flops = cache-hot AOT relowering + the scan-body correction
-        # compile; deferred behind the first primary emit so a slow tunnel
-        # cannot cost the round its headline number
+        # exact flops: a (code, config) constant — instant on a
+        # bench_flops_cache.json hit; on miss, AOT relowering + the
+        # scan-body correction compile, budget-gated and re-stored.
+        # Deferred behind the first primary emit so a slow tunnel cannot
+        # cost the round its headline number.
         try:
-            flops = flops_fn()
-            primary["mfu"] = round(flops / dt / V5E_BF16_PEAK, 4)
-            primary["hlo_tflop"] = round(flops / 1e12, 3)
+            flops, _hit = _cached_flops("flagship_executed", cfg,
+                                        flops_fn, 300, "mfu")
+            if flops == flops:
+                primary["mfu"] = round(flops / dt / V5E_BF16_PEAK, 4)
+                primary["hlo_tflop"] = round(flops / 1e12, 3)
         except Exception as e:
             _log({"metric": "mfu_error", "error": str(e)[:200]})
 
     def mfu_useful():
         # useful-MFU: the folded stem executes 2x structural-zero stem
         # flops, so the executed-HLO MFU overstates useful work.  Count the
-        # CANONICAL program's flops against the same dt (costs a second
-        # model build + compile; the canonical program is never stepped).
+        # CANONICAL program's flops against the same dt (a constant too —
+        # cached; a miss costs a second model build + compile; the
+        # canonical program is never stepped).
         try:
             ccfg = cfg.replace(folded_stem=False)
-            cstep, cstate, cbatch = _build_step(ccfg)
-            cflops = _step_flops(ccfg, cstep, cstate, jax.device_put(cbatch))
+
+            def compute():
+                cstep, cstate, cbatch = _build_step(ccfg)
+                return _step_flops(ccfg, cstep, cstate,
+                                   jax.device_put(cbatch))
+
+            cflops, _hit = _cached_flops("flagship_canonical", ccfg,
+                                         compute, 300, "mfu_useful")
             return cflops / dt / V5E_BF16_PEAK
         except Exception as e:
             _log({"metric": "mfu_useful_error", "error": str(e)[:200]})
@@ -461,8 +544,10 @@ def _secondary_recipes():
             rec = {"metric": name, "value": round(clips, 3),
                    "unit": "clips/sec/chip (T=%d)" % frames_per_clip,
                    "step_ms": round(dt * 1e3, 1)}
-            if _time_left(180, name + "_mfu"):
-                rec["mfu"] = round(flops_fn() / dt / V5E_BF16_PEAK, 4)
+            flops, _hit = _cached_flops(name, cfg, flops_fn, 180,
+                                        name + "_mfu")
+            if flops == flops:
+                rec["mfu"] = round(flops / dt / V5E_BF16_PEAK, 4)
             _log(rec)
         except Exception as e:
             _log({"metric": name, "error": str(e)[:300]})
@@ -621,11 +706,12 @@ def main():
     # line is printed again at the end — the driver reads the last parseable
     # stdout line, so the early duplicate costs nothing (BENCH_r02 lesson).
     print(_dumps(primary), flush=True)
-    if _time_left(300, "mfu"):
-        fill_mfu_fn(primary)
-        print(_dumps(primary), flush=True)
-    if _time_left(300, "mfu_useful"):
-        primary["mfu_useful"] = round(mfu_useful_fn(), 4)
+    # budget checks live inside (cache hits are instant, misses are gated)
+    fill_mfu_fn(primary)
+    print(_dumps(primary), flush=True)
+    mu = mfu_useful_fn()
+    if mu == mu:
+        primary["mfu_useful"] = round(mu, 4)
         print(_dumps(primary), flush=True)
     if os.environ.get("DIN_TPU_BENCH_FAST") != "1":
         _secondary_recipes()

@@ -142,6 +142,15 @@ class Config:
     # replicated over 'model' (do not combine with tensor-parallel
     # param_sharding on the same axis).
     frame_parallel: bool = False
+    # Gradient accumulation: split each batch into this many micro-batches,
+    # scan them (one rematted fwd+bwd each, batch_stats carried
+    # sequentially — the same DataParallel-analogue BN semantics as the
+    # frame-chunk scan) and apply ONE optimizer update on the averaged
+    # grads.  Gives large-batch gradient semantics at micro-batch memory:
+    # e.g. bs8 = batch_size 8 + grad_accum_steps 2 keeps the fast 'early'
+    # remat that bs8 in one step cannot fit (PERF.md bs8 negative result).
+    # batch_size must be divisible by it.
+    grad_accum_steps: int = 1
     prefetch_depth: int = 2              # host->device pipeline depth
     roi_align_impl: str = "auto"         # auto|onehot|gather|pallas
     frame_chunk: Optional[int] = None    # frames per backbone micro-batch

@@ -42,6 +42,9 @@ def main(argv=None):
                         help="absolute stop epoch (overrides max_epoch; "
                              "pair with --auto-resume so relaunches "
                              "complete the original plan)")
+    parser.add_argument("--grad-accum-steps", type=int, default=None,
+                        help="micro-batches per optimizer update (large-"
+                             "batch gradients at micro-batch memory)")
     parser.add_argument("--hflip-prob", type=float, default=None,
                         help="train-time horizontal-flip probability "
                              "(beyond-reference augmentation; keep unset "
@@ -72,6 +75,8 @@ def main(argv=None):
         overrides["packed_frames_path"] = args.packed_frames_path
     if args.train_to_epoch is not None:
         overrides["train_to_epoch"] = args.train_to_epoch
+    if args.grad_accum_steps is not None:
+        overrides["grad_accum_steps"] = args.grad_accum_steps
     if args.hflip_prob is not None:
         overrides["hflip_prob"] = args.hflip_prob
     if overrides:

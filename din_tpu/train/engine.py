@@ -58,8 +58,22 @@ def init_model(cfg, model, sample_batch):
     return variables
 
 
+def _combine_micro_metrics(stacked: Dict) -> Dict:
+    """Reduce scan-stacked per-micro-batch metrics to batch metrics:
+    counters/confusions sum, losses average (micro-batches are equal-sized,
+    so the mean of per-micro means equals the full-batch mean)."""
+    return {k: (v.sum(0) if k.endswith(("_correct", "_total", "_conf"))
+                else v.mean(0))
+            for k, v in stacked.items()}
+
+
 def make_train_step(model, cfg, tx, frame0_labels: bool, has_bn: bool,
                     donate: bool = True):
+    accum = max(int(getattr(cfg, "grad_accum_steps", 1) or 1), 1)
+    if accum > 1:
+        return _make_accum_train_step(model, cfg, tx, frame0_labels, has_bn,
+                                      donate, accum)
+
     def step(state: TrainState, batch: Dict):
         rng, new_rng = jax.random.split(state.rng)
 
@@ -83,6 +97,72 @@ def make_train_step(model, cfg, tx, frame0_labels: bool, has_bn: bool,
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, new_stats)), grads = grad_fn(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, batch_stats=new_stats,
+                               opt_state=opt_state, rng=new_rng)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def _make_accum_train_step(model, cfg, tx, frame0_labels: bool, has_bn: bool,
+                           donate: bool, accum: int):
+    """cfg.grad_accum_steps > 1: lax.scan over equal micro-batches, ONE
+    optimizer update on the averaged grads.  Exact large-batch gradient
+    semantics at micro-batch memory (up to masked-loss sample weighting:
+    micro-batches are mean-combined, so when micro-batches contain
+    different VALID counts — collective padding, pad_last eval — samples
+    in emptier micro-batches weigh slightly more; volleyball training
+    batches are always fully valid).  BN batch_stats are carried
+    micro-batch to micro-batch, the same DataParallel-analogue semantics
+    as the frame-chunk scan (models/trunk.py)."""
+
+    def step(state: TrainState, batch: Dict):
+        rng, new_rng = jax.random.split(state.rng)
+        mb_rngs = jax.random.split(rng, accum)
+
+        def split(x):
+            assert x.shape[0] % accum == 0, (
+                f"batch axis {x.shape[0]} not divisible by "
+                f"grad_accum_steps={accum}")
+            return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+        micro = jax.tree_util.tree_map(split, batch)
+
+        def loss_fn(params, stats, mb, mb_rng):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = stats
+            kwargs = dict(train=True, rngs={"dropout": mb_rng})
+            bn = mb.get("bboxes_num")
+            if has_bn:
+                out, new_vars = model.apply(
+                    variables, mb["images"], mb["boxes"],
+                    bboxes_num=bn, mutable=["batch_stats"], **kwargs)
+                new_stats = new_vars["batch_stats"]
+            else:
+                out = model.apply(variables, mb["images"], mb["boxes"],
+                                  bboxes_num=bn, **kwargs)
+                new_stats = stats
+            metrics = compute_losses(out, mb, cfg, frame0_labels)
+            return metrics["loss"], (metrics, new_stats)
+
+        grad_fn = jax.grad(loss_fn, has_aux=True)
+
+        def body(carry, xs):
+            stats, gacc = carry
+            mb, mb_rng = xs
+            grads, (metrics, new_stats) = grad_fn(
+                state.params, stats, mb, mb_rng)
+            gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
+            return (new_stats, gacc), metrics
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (new_stats, gsum), stacked = jax.lax.scan(
+            body, (state.batch_stats, zero_grads), (micro, mb_rngs))
+        grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+        metrics = _combine_micro_metrics(stacked)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, batch_stats=new_stats,

@@ -67,3 +67,34 @@ def test_jpeg_clips_fixture_matches_batch_spec():
         a0 = ds[0]
         b0 = ds[0]
         np.testing.assert_array_equal(a0["boxes"], b0["boxes"])
+
+
+def test_flops_cache_hit_miss_and_invalidation(monkeypatch, tmp_path):
+    """bench_flops_cache.json: a fingerprint-matching entry returns
+    instantly (no compute, no budget draw); a config change invalidates;
+    an exhausted budget on a miss returns NaN without computing."""
+    import bench
+    from din_tpu.config import Config
+
+    monkeypatch.setattr(bench, "_FLOPS_CACHE_PATH",
+                        str(tmp_path / "cache.json"))
+    monkeypatch.setenv("DIN_TPU_BENCH_BUDGET_S", "100000")
+    cfg = Config("volleyball").replace(batch_size=4)
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return 123.0
+
+    flops, hit = bench._cached_flops("k", cfg, compute, 60, "p")
+    assert (flops, hit, len(calls)) == (123.0, False, 1)
+    flops, hit = bench._cached_flops("k", cfg, compute, 60, "p")
+    assert (flops, hit, len(calls)) == (123.0, True, 1)     # no recompute
+    # different config -> fingerprint miss -> recompute
+    flops, hit = bench._cached_flops("k", cfg.replace(batch_size=8),
+                                     compute, 60, "p")
+    assert (hit, len(calls)) == (False, 2)
+    # miss + no budget -> NaN, not computed
+    monkeypatch.setenv("DIN_TPU_BENCH_BUDGET_S", "0")
+    flops, hit = bench._cached_flops("k2", cfg, compute, 60, "p")
+    assert flops != flops and len(calls) == 2
