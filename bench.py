@@ -631,6 +631,41 @@ def _loader_decode_scaling(cfg):
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
+def _inference_bench(cfg):
+    """Serving throughput: the compiled fwd-only program
+    (experiments/predict.py Predictor — backbone + RoIAlign + head +
+    softmax, no loss/optimizer) at flagship geometry.  The reference has
+    no serving path at all (SURVEY.md L4); this documents ours.
+    Predictor.__call__ copies posteriors to host, which doubles as the
+    sync point for tunnel-safe timing."""
+    from __graft_entry__ import _make_batch
+    from din_tpu.experiments.predict import Predictor
+    from din_tpu.models.registry import build_model
+    from din_tpu.train.engine import init_model
+
+    model = build_model(cfg)
+    batch = _make_batch(cfg, batch_size=cfg.batch_size)
+    variables = init_model(cfg, model, batch)
+    pred = Predictor(cfg, variables)
+    images, boxes = batch["images"], batch["boxes"]
+    t0 = time.perf_counter()
+    pred(images, boxes)
+    _log({"metric": "inference_compile_s",
+          "value": round(time.perf_counter() - t0, 1)})
+    for _ in range(2):
+        pred(images, boxes)
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pred(images, boxes)
+    dt = (time.perf_counter() - t0) / iters
+    assert "activities" in out
+    _log({"metric": "infer_clips_per_sec_flagship",
+          "value": round(cfg.batch_size / dt, 3),
+          "unit": "clips/sec/chip (fwd-only, bs%d)" % cfg.batch_size,
+          "step_ms": round(dt * 1e3, 1)})
+
+
 def _roi_align_check():
     """On-device RoIAlign impl check: assert pallas == onehot (and gather ==
     onehot) + time the impls at the stage-2 (45x80) and stage-1 inv3
@@ -715,6 +750,11 @@ def main():
         print(_dumps(primary), flush=True)
     if os.environ.get("DIN_TPU_BENCH_FAST") != "1":
         _secondary_recipes()
+        if _time_left(150, "inference_bench"):
+            try:
+                _inference_bench(cfg)
+            except Exception as e:
+                _log({"metric": "inference_bench", "error": str(e)[:300]})
         if _time_left(120, "roi_align_check"):
             try:
                 _roi_align_check()
