@@ -25,14 +25,24 @@ import numpy as np
 
 
 class Predictor:
-    """Compiled inference wrapper for any registered model."""
+    """Compiled inference wrapper for any registered model.
 
-    def __init__(self, cfg, variables):
+    ``pad_to``: serving batch shape.  XLA compiles one program per input
+    shape, so a production endpoint seeing ragged request sizes would pay
+    a fresh compile per distinct batch size; with ``pad_to=k`` every
+    request is padded up to k clips (larger requests run in k-sized
+    chunks) and answered by the ONE compiled program — clips are
+    independent in eval mode (batch_stats BN), so padding rows cannot
+    alter real rows (sliced off before returning).
+    """
+
+    def __init__(self, cfg, variables, pad_to: Optional[int] = None):
         from din_tpu.models.registry import build_model
 
         self.cfg = cfg
         self.model = build_model(cfg)
         self._variables = variables
+        self.pad_to = pad_to
 
         def fwd(variables, images, boxes, bboxes_num):
             out = self.model.apply(variables, images, boxes,
@@ -47,7 +57,8 @@ class Predictor:
         self._fwd = jax.jit(fwd)
 
     @classmethod
-    def from_checkpoint(cls, cfg, ckpt_path: Optional[str] = None):
+    def from_checkpoint(cls, cfg, ckpt_path: Optional[str] = None,
+                        pad_to: Optional[int] = None):
         """Build the model and (optionally) load a stage-2 checkpoint
         (params + batch_stats; optimizer state ignored)."""
         from din_tpu.train import checkpoint as ckpt_lib
@@ -62,16 +73,50 @@ class Predictor:
         if ckpt_path:
             variables, _, _, _ = ckpt_lib.load_stage2_model(variables,
                                                             ckpt_path)
-        return cls(cfg, variables)
+        return cls(cfg, variables, pad_to=pad_to)
 
     def __call__(self, images, boxes, bboxes_num=None) -> Dict:
         """images [B,T,H,W,3] uint8; boxes [B,T,N,4] feature-map coords.
         Returns softmax posteriors ({'activities': [B,A], 'actions': ...})
         as numpy arrays."""
+        if self.pad_to is not None:
+            return self._call_padded(images, boxes, bboxes_num)
         out = self._fwd(self._variables, jnp.asarray(images),
                         jnp.asarray(boxes),
                         None if bboxes_num is None else jnp.asarray(bboxes_num))
         return {k: np.asarray(v) for k, v in out.items()}
+
+    def _call_padded(self, images, boxes, bboxes_num=None) -> Dict:
+        """Answer a B-clip request with ceil(B/pad_to) fixed-shape calls.
+
+        Outputs may be flattened per clip (actions [B*N,A] / [B*T*MAX_N,A],
+        collective activities [B*T,G]) — the leading dim is always a
+        multiple m of the batch, so n valid clips occupy the first n*m rows.
+        """
+        images = np.asarray(images)
+        boxes = np.asarray(boxes)
+        if bboxes_num is not None:
+            bboxes_num = np.asarray(bboxes_num)
+        b_total, k = images.shape[0], self.pad_to
+        chunks = []
+        for s in range(0, b_total, k):
+            n = min(k, b_total - s)
+
+            def pad(x):
+                sl = x[s:s + n]
+                if n == k:
+                    return sl
+                return np.concatenate(          # repeat a valid clip
+                    [sl] + [sl[:1]] * (k - n), axis=0)
+
+            out = self._fwd(self._variables, jnp.asarray(pad(images)),
+                            jnp.asarray(pad(boxes)),
+                            None if bboxes_num is None
+                            else jnp.asarray(pad(bboxes_num)))
+            chunks.append({kk: np.asarray(v)[: n * (v.shape[0] // k)]
+                           for kk, v in out.items()})
+        return {kk: np.concatenate([c[kk] for c in chunks], axis=0)
+                for kk in chunks[0]}
 
 
 def main(argv=None):

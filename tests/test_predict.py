@@ -28,3 +28,22 @@ def test_predictor_roundtrip(tmp_path):
     out2 = pred2(batch["images"], batch["boxes"])
     np.testing.assert_allclose(out2["activities"], out["activities"],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_predictor_pad_to_single_program():
+    """pad_to=k serves ragged request sizes (1..2k+1) from ONE compiled
+    program, bit-equal to the per-size unpadded answers — clips are
+    independent in eval mode so padding rows cannot leak (predict.py)."""
+    cfg = _flagship_cfg(tiny=True).replace(batch_size=2)
+    pred = Predictor.from_checkpoint(cfg, None)
+    padded = Predictor(cfg, pred._variables, pad_to=2)
+    big = _make_batch(cfg, batch_size=5)
+    for b in (1, 2, 3, 5):
+        imgs, bxs = big["images"][:b], big["boxes"][:b]
+        ref = pred(imgs, bxs)
+        got = padded(imgs, bxs)
+        for k in ref:
+            assert got[k].shape == ref[k].shape
+            np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, atol=1e-6)
+    # the padded predictor compiled exactly one program (batch shape k)
+    assert padded._fwd._cache_size() == 1
