@@ -39,6 +39,8 @@ class Predictor:
     def __init__(self, cfg, variables, pad_to: Optional[int] = None):
         from din_tpu.models.registry import build_model
 
+        if pad_to is not None and pad_to < 1:
+            raise ValueError(f"pad_to must be >= 1, got {pad_to}")
         self.cfg = cfg
         self.model = build_model(cfg)
         self._variables = variables
@@ -98,6 +100,8 @@ class Predictor:
         if bboxes_num is not None:
             bboxes_num = np.asarray(bboxes_num)
         b_total, k = images.shape[0], self.pad_to
+        if b_total == 0:
+            raise ValueError("empty request: images.shape[0] == 0")
         chunks = []
         for s in range(0, b_total, k):
             n = min(k, b_total - s)
@@ -113,8 +117,17 @@ class Predictor:
                             jnp.asarray(pad(boxes)),
                             None if bboxes_num is None
                             else jnp.asarray(pad(bboxes_num)))
-            chunks.append({kk: np.asarray(v)[: n * (v.shape[0] // k)]
-                           for kk, v in out.items()})
+            def _valid_rows(v):
+                # Leading dim must be batch-major (a multiple of k) for the
+                # first n*m rows to be exactly the valid clips; anything else
+                # must fail loudly, not truncate to a plausible wrong answer.
+                if v.shape[0] % k != 0:
+                    raise ValueError(
+                        f"output leading dim {v.shape[0]} is not a multiple "
+                        f"of the padded batch {k}; cannot un-pad")
+                return np.asarray(v)[: n * (v.shape[0] // k)]
+
+            chunks.append({kk: _valid_rows(v) for kk, v in out.items()})
         return {kk: np.concatenate([c[kk] for c in chunks], axis=0)
                 for kk in chunks[0]}
 

@@ -45,5 +45,22 @@ def test_predictor_pad_to_single_program():
         for k in ref:
             assert got[k].shape == ref[k].shape
             np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, atol=1e-6)
-    # the padded predictor compiled exactly one program (batch shape k)
-    assert padded._fwd._cache_size() == 1
+    # the padded predictor compiled exactly one program (batch shape k).
+    # _cache_size is a private JAX API — skip the count (not the test) if a
+    # JAX upgrade removes it (ADVICE r3).
+    if hasattr(padded._fwd, "_cache_size"):
+        assert padded._fwd._cache_size() == 1
+
+
+def test_predictor_rejects_bad_pad_and_empty():
+    """pad_to < 1 and empty requests fail loudly (ADVICE r3)."""
+    import pytest
+
+    cfg = _flagship_cfg(tiny=True).replace(batch_size=2)
+    pred = Predictor.from_checkpoint(cfg, None)
+    with pytest.raises(ValueError, match="pad_to"):
+        Predictor(cfg, pred._variables, pad_to=0)
+    padded = Predictor(cfg, pred._variables, pad_to=2)
+    batch = _make_batch(cfg, batch_size=1)
+    with pytest.raises(ValueError, match="empty request"):
+        padded(batch["images"][:0], batch["boxes"][:0])
