@@ -93,6 +93,10 @@ class Config:
     training_stage: int = 1
     stage1_model_path: str = ""
     test_before_train: bool = False
+    # run exactly one eval pass on the loaded weights and return (no
+    # training) — first-class form of the reference's closest equivalent,
+    # test_before_train + max_epoch=0 (train_net.py:93-95)
+    eval_only: bool = False
     exp_note: str = "Group-Activity-Recognition"
     exp_name: Optional[str] = None
     set_bn_eval: bool = False

@@ -18,6 +18,9 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--max-steps-per-epoch", type=int, default=None)
     parser.add_argument("--stage1-model-path", default=None)
+    parser.add_argument("--stage2-model-path", default=None,
+                        help="full stage-2 .ckpt to load (resume training "
+                             "from it, or score it with --eval-only)")
     parser.add_argument("--ref-checkpoint-path", default=None,
                         help=".pth saved by the reference framework to "
                              "graft in (nn/ref_import.py)")
@@ -49,6 +52,10 @@ def main(argv=None):
                         help="train-time horizontal-flip probability "
                              "(beyond-reference augmentation; keep unset "
                              "for parity)")
+    parser.add_argument("--eval-only", action="store_true",
+                        help="run one eval pass on the loaded weights "
+                             "(e.g. --ref-checkpoint-path / "
+                             "--stage1-model-path) and exit — no training")
     args = parser.parse_args(argv)
 
     cfg = PRESETS[args.preset]()
@@ -61,6 +68,10 @@ def main(argv=None):
         overrides["batch_size"] = args.batch_size
     if args.stage1_model_path:
         overrides["stage1_model_path"] = args.stage1_model_path
+    if args.stage2_model_path:
+        overrides["stage2model"] = args.stage2_model_path
+        overrides["load_stage2model"] = True
+        overrides["load_backbone_stage2"] = False
     if args.ref_checkpoint_path:
         overrides["ref_checkpoint_path"] = args.ref_checkpoint_path
     if args.ref_resume_optimizer:
@@ -79,6 +90,8 @@ def main(argv=None):
         overrides["grad_accum_steps"] = args.grad_accum_steps
     if args.hflip_prob is not None:
         overrides["hflip_prob"] = args.hflip_prob
+    if args.eval_only:
+        overrides["eval_only"] = True
     if overrides:
         cfg = cfg.replace(**overrides)
     best = train_net(cfg, max_steps_per_epoch=args.max_steps_per_epoch)

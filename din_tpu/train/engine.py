@@ -484,6 +484,14 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
                     np.int32(local)).max())
             return bool(local)
 
+        if getattr(cfg, "eval_only", False):
+            # one eval pass on the loaded weights, no training (first-class
+            # form of the reference's test_before_train + max_epoch=0 hack)
+            info = run_eval(state, start_epoch - 1, stop)
+            info.pop("preempted", None)
+            show_epoch_info("Test", cfg.log_path, info)
+            return info
+
         if cfg.test_before_train:
             info = run_eval(state, 0, stop)
             if info.pop("preempted", False):

@@ -245,3 +245,25 @@ def test_grad_accum_trains_with_bn(tmp_path):
     cfg = _smoke_cfg(tmp_path, grad_accum_steps=2, exp_note="accum_bn")
     best = train_net(cfg, max_steps_per_epoch=2)
     assert "activities_acc" in best
+
+
+def test_eval_only_scores_checkpoint_without_training(tmp_path):
+    """cfg.eval_only: one eval pass on the loaded checkpoint, no training —
+    the first-class form of scoring released weights (replaces the
+    reference's test_before_train + max_epoch=0 combination,
+    train_net.py:93-95)."""
+    cfg = _smoke_cfg(tmp_path, exp_note="evalonly_train")
+    train_net(cfg, max_steps_per_epoch=2)
+    ckpts = [f for f in os.listdir(cfg.result_path) if f.endswith(".ckpt")]
+    assert ckpts
+    ckpt = os.path.join(cfg.result_path, ckpts[0])
+
+    cfg2 = _smoke_cfg(tmp_path, exp_note="evalonly_eval", eval_only=True,
+                      load_stage2model=True, stage2model=ckpt,
+                      load_backbone_stage2=False)
+    info = train_net(cfg2)
+    assert "activities_acc" in info and "activities_MPCA" in info
+    # no training happened: the eval-only run wrote no checkpoint
+    files = os.listdir(cfg2.result_path)
+    assert not any(f.endswith(".ckpt") for f in files)
+    assert "log.txt" in files
