@@ -137,6 +137,19 @@ def _cfg_fingerprint(cfg) -> str:
     return hashlib.sha1(payload.encode()).hexdigest()[:16]
 
 
+def _flops_cache_warm(key: str, cfg) -> bool:
+    """True if the committed flop cache holds `key` at the CURRENT source
+    fingerprint — i.e. the persistent compile cache was warmed for exactly
+    this source tree + config and the recipe's compile will be a hit."""
+    try:
+        with open(_FLOPS_CACHE_PATH) as f:
+            cache = json.load(f)
+        ent = cache.get(key)
+        return isinstance(ent, dict) and ent.get("fp") == _cfg_fingerprint(cfg)
+    except Exception:
+        return False
+
+
 def _cached_flops(key: str, cfg, compute_fn, need_s: float, phase: str):
     """Return (flops, from_cache).  Cache hit: instant.  Miss: compute if
     the wall-clock budget allows, store, return; else (nan, False)."""
@@ -237,14 +250,22 @@ def _build_step(cfg):
     from din_tpu.train.engine import TrainState, init_model, make_train_step
     from din_tpu.train.optim import make_optimizer
 
+    t0 = time.perf_counter()
     model = build_model(cfg)
     batch = _make_batch(cfg, batch_size=cfg.batch_size)
+    t1 = time.perf_counter()
     variables = init_model(cfg, model, batch)
+    jax.block_until_ready(variables["params"])
+    t2 = time.perf_counter()
     tx = make_optimizer(cfg, variables["params"])
     state = TrainState(params=variables["params"],
                        batch_stats=variables.get("batch_stats", {}),
-                       opt_state=tx.init(variables["params"]),
+                       opt_state=jax.jit(tx.init)(variables["params"]),
                        rng=jax.random.PRNGKey(0))
+    jax.block_until_ready(state.opt_state)
+    _log({"metric": "build_breakdown_s",
+          "batch_s": round(t1 - t0, 1), "init_s": round(t2 - t1, 1),
+          "opt_s": round(time.perf_counter() - t2, 1)})
     step = make_train_step(model, cfg, tx,
                            frame0_labels=cfg.training_stage == 2,
                            has_bn=bool(variables.get("batch_stats")),
@@ -299,8 +320,11 @@ def _bench_train_step(cfg, warmup=3, iters=10):
     """
     import jax
 
+    tb = time.perf_counter()
     step, state0, batch = _build_step(cfg)
     dbatch = jax.device_put(batch)
+    _log({"metric": "build_s", "value": round(time.perf_counter() - tb, 1),
+          "recipe": "%s/%s" % (cfg.backbone, cfg.inference_module_name)})
     t0 = time.perf_counter()
     state, metrics = step(state0, dbatch)
     # NOTE: device->host transfer (float()) is the sync point; the remote
@@ -532,7 +556,11 @@ def _secondary_recipes():
              batch_size=4, frame_chunk=8)),
     )
     for name, make_cfg in recipes:
-        if not _time_left(240, name):
+        # a flop-cache fingerprint hit proves THIS source+config was warmed
+        # (bench_flops_cache.json is committed together with .jax_cache),
+        # so compile will be a persistent-cache hit: build+steps only.
+        need = 120 if _flops_cache_warm(name, make_cfg()) else 240
+        if not _time_left(need, name):
             continue
         try:
             cfg = make_cfg()

@@ -113,11 +113,19 @@ class Trunk(nn.Module):
 
     def _shard_frames(self, x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
         """Constrain dim `axis` of x (the flattened frame axis) to the
-        merged frame mesh axes, e.g. P(('data','model'), ...)."""
+        merged frame mesh axes, e.g. P(('data','model'), ...).  Dims that
+        don't divide the mesh extent (e.g. a 4-frame chunk over 8 devices)
+        are left unconstrained — XLA picks a layout instead of failing."""
         if not self._frame_mesh_ready():
             return x
         from jax.sharding import PartitionSpec as P
+        mesh = jax.sharding.get_abstract_mesh()
         axes = tuple(self.frame_axes)
+        extent = 1
+        for a in axes:
+            extent *= mesh.shape[a]
+        if extent <= 1 or x.shape[axis] % extent:
+            return x
         spec = [None] * x.ndim
         spec[axis] = axes if len(axes) > 1 else axes[0]
         return jax.lax.with_sharding_constraint(x, P(*spec))
@@ -231,8 +239,10 @@ class Trunk(nn.Module):
             # gather the per-clip frames back to batch-over-'data' for the
             # reasoning head (which mixes across T)
             from jax.sharding import PartitionSpec as P
-            roi = jax.lax.with_sharding_constraint(
-                roi, P(self.frame_axes[0]))
+            mesh = jax.sharding.get_abstract_mesh()
+            if B % mesh.shape[self.frame_axes[0]] == 0:
+                roi = jax.lax.with_sharding_constraint(
+                    roi, P(self.frame_axes[0]))
         return roi, multiscale, outputs
 
 

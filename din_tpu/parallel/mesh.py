@@ -28,14 +28,21 @@ def make_mesh(cfg=None, devices=None) -> Mesh:
 
 
 def frame_axes(cfg):
-    """Mesh axes the trunk shards the flattened B*T frame axis over when
-    sequence(frame) parallelism is on (cfg.frame_parallel) — the backbone
-    is embarrassingly parallel over frames, so this scales the dominant
-    trunk cost even at batch sizes nn.DataParallel cannot split.  The
-    engine must install the mesh ambiently (jax.set_mesh) for the trunk's
-    PartitionSpec constraints to resolve."""
+    """Mesh axes the trunk shards the flattened B*T frame axis over — the
+    backbone is embarrassingly parallel over frames.  With
+    cfg.frame_parallel both mesh axes carry frames (scales the trunk even
+    at batch sizes nn.DataParallel cannot split); otherwise frames ride
+    the 'data' axis only.  The plain-dp constraint is NOT redundant: at
+    full resolution the trunk scans over frame chunks, and the
+    [B*T]->[chunks,chunk] packing crosses batch-shard boundaries — without
+    an explicit constraint the SPMD partitioner REPLICATES the whole scan
+    on every device (verified on the compiled flagship step:
+    parallel/scaling.py showed while-body convs at full chunk size per
+    partition, i.e. zero trunk speedup from dp).  The engine installs the
+    mesh ambiently (jax.set_mesh) whenever it has >1 device; constraints
+    no-op without one, so single-chip programs are unchanged."""
     return ("data", "model") if getattr(cfg, "frame_parallel", False) \
-        else None
+        else ("data",)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

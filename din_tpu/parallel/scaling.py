@@ -171,9 +171,9 @@ def analyze_step(cfg, n_devices: int, frame_parallel: bool = False,
     step = make_train_step(model, cfg, tx, frame0_labels=True,
                            has_bn=bool(variables.get("batch_stats")),
                            donate=False)
-    import contextlib
-    ctx = jax.set_mesh(mesh) if frame_parallel else contextlib.nullcontext()
-    with ctx:
+    # ambient mesh exactly as the engine installs it (mesh.size > 1):
+    # required for the trunk's frame-sharding constraints in BOTH modes
+    with jax.set_mesh(mesh):
         compiled = step.lower(state, sharded_batch).compile()
     analysis = compiled.cost_analysis()
     if isinstance(analysis, list):

@@ -49,7 +49,12 @@ class TrainState:
 def init_model(cfg, model, sample_batch):
     rngs = {"params": jax.random.PRNGKey(cfg.train_random_seed),
             "dropout": jax.random.PRNGKey(cfg.train_random_seed + 1)}
-    variables = model.init(
+    # jit the whole init: eager model.init dispatches every op separately,
+    # which over a remote-device transport (this environment's tunnel) costs
+    # a round-trip per op — ~2 min for the flagship model vs one compiled
+    # (and persistently cached) program here
+    init_fn = jax.jit(model.init, static_argnames=("train",))
+    variables = init_fn(
         rngs, jnp.asarray(sample_batch["images"]),
         jnp.asarray(sample_batch["boxes"]),
         bboxes_num=(jnp.asarray(sample_batch["bboxes_num"])
@@ -288,10 +293,13 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
                              process_index=pi, process_count=pc)
 
     mesh = make_mesh(cfg)
-    if getattr(cfg, "frame_parallel", False):
-        # sequence(frame) parallelism: the trunk carries PartitionSpec
-        # constraints over ('data','model') (models/trunk.py frame_axes)
-        # that resolve against the ambient mesh
+    if mesh.size > 1:
+        # install the mesh ambiently so the trunk's frame-sharding
+        # constraints resolve (models/trunk.py frame_axes).  Required for
+        # frame_parallel, and for plain dp it keeps the chunked frame scan
+        # SHARDED — without it SPMD replicates the whole trunk scan on
+        # every device (parallel/mesh.py frame_axes).  Single-device runs
+        # skip it so their compiled programs (and caches) are unchanged.
         jax.set_mesh(mesh)
     _data_sharding = batch_sharding(mesh)
     if getattr(cfg, "frame_parallel", False):
@@ -380,7 +388,9 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
                   + cfg.pretrained_backbone_path)
 
     tx = make_optimizer(cfg, variables["params"])
-    opt_state = tx.init(variables["params"])
+    # jit: eager optax init is two dispatches per param leaf — expensive
+    # over a remote-device transport (see init_model)
+    opt_state = jax.jit(tx.init)(variables["params"])
     if getattr(cfg, "ref_checkpoint_path", "") and \
             getattr(cfg, "ref_resume_optimizer", False):
         # exact mid-training migration: adopt the torch Adam moments the

@@ -214,3 +214,51 @@ def test_frame_batch_sharding_uneven_frame_axis():
     assert s["frames8"].spec == P("data", "model")
     assert s["sample_mask"].spec == P("data")
     assert put["images"].shape == (2, 10, 4, 4)
+
+
+def test_data_parallel_chunked_trunk_is_sharded_and_matches():
+    """Plain dp with the chunked frame scan: the [B*T]->[chunks,chunk]
+    packing crosses batch-shard boundaries, and without the trunk's
+    frame-sharding constraints the SPMD partitioner REPLICATED the whole
+    scan on every device — zero trunk speedup from dp at full resolution
+    (found by parallel/scaling.py on the flagship geometry: while-body
+    convs at full chunk size per partition).  With the engine's ambient
+    mesh (train/engine.py) the per-device program must carry a small
+    fraction of the single-device flops AND still match its update."""
+    from din_tpu.train.engine import make_train_step as mts
+
+    def flops_of(compiled):
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return float(dict(analysis)["flops"])
+
+    cfg, model, state, step, batch = _setup()
+    cfg_c = cfg.replace(frame_chunk=8)          # 16 frames -> 2 chunks of 8
+    tx = make_optimizer(cfg_c, state.params)
+    step_c = mts(build_model(cfg_c), cfg_c, tx, frame0_labels=True,
+                 has_bn=True, donate=False)
+    dev0 = jax.devices()[0]
+    state0, batch0 = jax.device_put(state, dev0), jax.device_put(batch, dev0)
+    f_single = flops_of(step_c.lower(state0, batch0).compile())
+    new0, m0 = step_c(state0, batch0)
+
+    cfg_dp = cfg_c.replace(mesh_shape={"data": 8, "model": 1})
+    mesh = make_mesh(cfg_dp)
+    step_dp = mts(build_model(cfg_dp), cfg_dp, tx, frame0_labels=True,
+                  has_bn=True, donate=False)
+    with jax.set_mesh(mesh):
+        state_r = jax.device_put(state, replicated_sharding(mesh))
+        batch_s = jax.device_put(batch, batch_sharding(mesh))
+        f_dp = flops_of(step_dp.lower(state_r, batch_s).compile())
+        new_s, m_s = step_dp(state_r, batch_s)
+        jax.block_until_ready(m_s["loss"])
+
+    # the trunk term (dominant) must shrink ~8x; replicated would be ~1x
+    assert f_dp < f_single / 3, (f_dp, f_single)
+    np.testing.assert_allclose(float(m0["loss"]), float(m_s["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(new0.params),
+                    jax.tree_util.tree_leaves(new_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=5e-4)
