@@ -24,6 +24,53 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def chunked_padded_call(fwd, pad_to: int, images, boxes,
+                        bboxes_num=None) -> Dict:
+    """Answer a B-clip request with ceil(B/pad_to) fixed-shape calls to
+    ``fwd(images, boxes, bboxes_num) -> dict`` (batch exactly ``pad_to``).
+
+    Shared by the live Predictor and the StableHLO ExportedPredictor
+    (export_serving.py).  Outputs may be flattened per clip (actions
+    [B*N,A] / [B*T*MAX_N,A], collective activities [B*T,G]) — the leading
+    dim is always a multiple m of the batch, so n valid clips occupy the
+    first n*m rows.
+    """
+    images = np.asarray(images)
+    boxes = np.asarray(boxes)
+    if bboxes_num is not None:
+        bboxes_num = np.asarray(bboxes_num)
+    b_total, k = images.shape[0], pad_to
+    if b_total == 0:
+        raise ValueError("empty request: images.shape[0] == 0")
+    chunks = []
+    for s in range(0, b_total, k):
+        n = min(k, b_total - s)
+
+        def pad(x):
+            sl = x[s:s + n]
+            if n == k:
+                return sl
+            return np.concatenate(          # repeat a valid clip
+                [sl] + [sl[:1]] * (k - n), axis=0)
+
+        out = fwd(jnp.asarray(pad(images)), jnp.asarray(pad(boxes)),
+                  None if bboxes_num is None else jnp.asarray(pad(bboxes_num)))
+
+        def _valid_rows(v):
+            # Leading dim must be batch-major (a multiple of k) for the
+            # first n*m rows to be exactly the valid clips; anything else
+            # must fail loudly, not truncate to a plausible wrong answer.
+            if v.shape[0] % k != 0:
+                raise ValueError(
+                    f"output leading dim {v.shape[0]} is not a multiple "
+                    f"of the padded batch {k}; cannot un-pad")
+            return np.asarray(v)[: n * (v.shape[0] // k)]
+
+        chunks.append({kk: _valid_rows(v) for kk, v in out.items()})
+    return {kk: np.concatenate([c[kk] for c in chunks], axis=0)
+            for kk in chunks[0]}
+
+
 class Predictor:
     """Compiled inference wrapper for any registered model.
 
@@ -89,47 +136,9 @@ class Predictor:
         return {k: np.asarray(v) for k, v in out.items()}
 
     def _call_padded(self, images, boxes, bboxes_num=None) -> Dict:
-        """Answer a B-clip request with ceil(B/pad_to) fixed-shape calls.
-
-        Outputs may be flattened per clip (actions [B*N,A] / [B*T*MAX_N,A],
-        collective activities [B*T,G]) — the leading dim is always a
-        multiple m of the batch, so n valid clips occupy the first n*m rows.
-        """
-        images = np.asarray(images)
-        boxes = np.asarray(boxes)
-        if bboxes_num is not None:
-            bboxes_num = np.asarray(bboxes_num)
-        b_total, k = images.shape[0], self.pad_to
-        if b_total == 0:
-            raise ValueError("empty request: images.shape[0] == 0")
-        chunks = []
-        for s in range(0, b_total, k):
-            n = min(k, b_total - s)
-
-            def pad(x):
-                sl = x[s:s + n]
-                if n == k:
-                    return sl
-                return np.concatenate(          # repeat a valid clip
-                    [sl] + [sl[:1]] * (k - n), axis=0)
-
-            out = self._fwd(self._variables, jnp.asarray(pad(images)),
-                            jnp.asarray(pad(boxes)),
-                            None if bboxes_num is None
-                            else jnp.asarray(pad(bboxes_num)))
-            def _valid_rows(v):
-                # Leading dim must be batch-major (a multiple of k) for the
-                # first n*m rows to be exactly the valid clips; anything else
-                # must fail loudly, not truncate to a plausible wrong answer.
-                if v.shape[0] % k != 0:
-                    raise ValueError(
-                        f"output leading dim {v.shape[0]} is not a multiple "
-                        f"of the padded batch {k}; cannot un-pad")
-                return np.asarray(v)[: n * (v.shape[0] // k)]
-
-            chunks.append({kk: _valid_rows(v) for kk, v in out.items()})
-        return {kk: np.concatenate([c[kk] for c in chunks], axis=0)
-                for kk in chunks[0]}
+        return chunked_padded_call(
+            lambda i, b, n: self._fwd(self._variables, i, b, n),
+            self.pad_to, images, boxes, bboxes_num)
 
 
 def main(argv=None):
