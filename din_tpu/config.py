@@ -167,6 +167,11 @@ class Config:
     remat_backbone: bool = True          # remat the scan body (False = let XLA decide)
     folded_stem: bool = True             # fold input stems (din_tpu/nn/stem.py)
     fuse_multiscale_roi: bool = True     # resize composed into RoIAlign rows
+    # Shard-local frame-chunk packing under dp/frame-parallel meshes:
+    # 'auto' = permute whenever numerics-preserving (no live trunk BN),
+    # 'on' = force (live-BN chunks regroup, nn.DataParallel-style),
+    # 'off' = keep the order-preserving packing.  models/trunk.py.
+    shard_local_chunks: str = "auto"
     pretrained_backbone_path: Optional[str] = None  # torch state_dict file (optional)
     result_root: str = "result"
     num_workers: int = 4                 # host decode threads

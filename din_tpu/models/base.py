@@ -14,8 +14,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from din_tpu.parallel import mesh as mesh_lib
-from din_tpu.models.trunk import EmbedActors, Trunk
+from din_tpu.models.trunk import EmbedActors, trunk_from_cfg
 from din_tpu.nn.layers import kaiming_normal_init
 from din_tpu.utils.masking import masked_max
 
@@ -36,20 +35,8 @@ class BasenetVolleyball(nn.Module):
         cfg = self.cfg
         B, T = images.shape[:2]
         N = cfg.num_boxes
-        roi, _, _ = Trunk(
-            backbone=cfg.backbone, out_size=tuple(cfg.out_size),
-            crop_size=tuple(cfg.crop_size), train_backbone=cfg.train_backbone,
-            compute_dtype=jnp.dtype(cfg.compute_dtype),
-            roi_align_impl=cfg.roi_align_impl,
-            frame_chunk=cfg.frame_chunk,
-            remat_policy=getattr(cfg, "remat_policy", "full"),
-            remat_backbone=getattr(cfg, "remat_backbone", True),
-            folded_stem=getattr(cfg, "folded_stem", True),
-                 fuse_multiscale_roi=getattr(
-                     cfg, "fuse_multiscale_roi", True),
-                 frame_axes=mesh_lib.frame_axes(cfg),
-            name="trunk")(
-                images, boxes, bn_train=train and not cfg.set_bn_eval)
+        roi, _, _ = trunk_from_cfg(cfg)(
+            images, boxes, bn_train=train and not cfg.set_bn_eval)
         # stage-1 embedding: fc_emb + ReLU + dropout (base_model.py:119-121)
         feats = EmbedActors(nfb=cfg.num_features_boxes, use_layernorm=False,
                             dropout=cfg.train_dropout_prob,
@@ -77,20 +64,8 @@ class BasenetCollective(nn.Module):
         cfg = self.cfg
         B, T = images.shape[:2]
         MAX_N = cfg.num_boxes
-        roi, _, _ = Trunk(
-            backbone=cfg.backbone, out_size=tuple(cfg.out_size),
-            crop_size=tuple(cfg.crop_size), train_backbone=cfg.train_backbone,
-            compute_dtype=jnp.dtype(cfg.compute_dtype),
-            roi_align_impl=cfg.roi_align_impl,
-            frame_chunk=cfg.frame_chunk,
-            remat_policy=getattr(cfg, "remat_policy", "full"),
-            remat_backbone=getattr(cfg, "remat_backbone", True),
-            folded_stem=getattr(cfg, "folded_stem", True),
-                 fuse_multiscale_roi=getattr(
-                     cfg, "fuse_multiscale_roi", True),
-                 frame_axes=mesh_lib.frame_axes(cfg),
-            name="trunk")(
-                images, boxes, bn_train=train and not cfg.set_bn_eval)
+        roi, _, _ = trunk_from_cfg(cfg)(
+            images, boxes, bn_train=train and not cfg.set_bn_eval)
         feats = EmbedActors(nfb=cfg.num_features_boxes, use_layernorm=False,
                             dropout=cfg.train_dropout_prob,
                             name="embed")(roi, deterministic=not train)

@@ -21,8 +21,7 @@ from din_tpu.heads.higcin import CrossInferBlock
 from din_tpu.heads.pctdm import PCTDM
 from din_tpu.heads.positional import boxes_position_embedding
 from din_tpu.heads.sacrf_biute import SACRF, BiUTE
-from din_tpu.parallel import mesh as mesh_lib
-from din_tpu.models.trunk import EmbedActors, Trunk
+from din_tpu.models.trunk import EmbedActors, trunk_from_cfg as _make_trunk
 from din_tpu.nn.layers import TorchLayerNorm, kaiming_normal_init
 from din_tpu.utils.masking import mask_actors, masked_max
 
@@ -30,22 +29,6 @@ from din_tpu.utils.masking import mask_actors, masked_max
 def _head_dense(features: int, name: str):
     return nn.Dense(features, kernel_init=kaiming_normal_init,
                     precision="highest", name=name)
-
-
-def _make_trunk(cfg, name="trunk"):
-    return Trunk(backbone=cfg.backbone, out_size=tuple(cfg.out_size),
-                 crop_size=tuple(cfg.crop_size),
-                 train_backbone=cfg.train_backbone,
-                 compute_dtype=jnp.dtype(cfg.compute_dtype),
-                 roi_align_impl=cfg.roi_align_impl,
-                 frame_chunk=cfg.frame_chunk,
-                 remat_policy=getattr(cfg, "remat_policy", "full"),
-                 remat_backbone=getattr(cfg, "remat_backbone", True),
-                 folded_stem=getattr(cfg, "folded_stem", True),
-                 fuse_multiscale_roi=getattr(
-                     cfg, "fuse_multiscale_roi", True),
-                 frame_axes=mesh_lib.frame_axes(cfg),
-                 name=name)
 
 
 def _three_crop(images, boxes):

@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from din_tpu.nn.backbones import BACKBONES, SAVEABLE_ACT
+from din_tpu.nn.backbones import BACKBONE_HAS_BN, BACKBONES, SAVEABLE_ACT
 from din_tpu.nn.layers import kaiming_normal_init
 from din_tpu.ops.image import prep_images, resize_bilinear_align_corners
 from din_tpu.ops.roi_align import roi_align, roi_align_multiscale
@@ -99,6 +99,8 @@ class Trunk(nn.Module):
     # head.  Requires an ambient mesh (jax.set_mesh) carrying these axes;
     # None (default) adds no constraints.  cfg.frame_parallel wires this.
     frame_axes: Optional[Tuple[str, ...]] = None
+    # Shard-local chunk packing: 'auto' | 'on' | 'off' (see _pack_extent).
+    shard_local_chunks: str = "auto"
 
     def _frame_mesh_ready(self) -> bool:
         """frame_axes constraints resolve only against an ambient mesh
@@ -129,6 +131,72 @@ class Trunk(nn.Module):
         spec = [None] * x.ndim
         spec[axis] = axes if len(axes) > 1 else axes[0]
         return jax.lax.with_sharding_constraint(x, P(*spec))
+
+    def _pack_extent(self, n_frames: int, chunk: int, bn_train: bool) -> int:
+        """Device extent E for shard-local chunk packing, or 1 to keep the
+        order-preserving packing.
+
+        The naive [B*T]->[chunks,chunk] reshape assigns CONTIGUOUS frames to
+        each chunk, so a chunk spans multiple devices' batch shards and the
+        SPMD partitioner moves the frame tensor across ICI every step to
+        repack it (measured on the flagship dp step: ~290 MB/chip of
+        all-gather/all-to-all/permute traffic, PERF.md).  Packing each
+        device's OWN contiguous frame block into its slice of every chunk
+        (``_pack_shard_local``) makes the packing a local
+        reshape-transpose-reshape — zero resharding traffic.
+
+        The regrouping changes which frames share a chunk, which only
+        matters to live per-chunk BatchNorm statistics: for BN-free or
+        frozen-BN trunks the outputs are frame-independent and the permuted
+        program is numerically identical after unpacking.  'auto' therefore
+        permutes exactly when BN is not live; 'on' forces it for live-BN
+        trunks too (an nn.DataParallel-style analogue: each replica's BN
+        normalises its own sub-batch, train_net.py:77-78); 'off' disables.
+        """
+        if self.shard_local_chunks == "off" or not self._frame_mesh_ready():
+            return 1
+        if self.shard_local_chunks == "auto" and bn_train and \
+                BACKBONE_HAS_BN.get(self.backbone, True):
+            return 1
+        mesh = jax.sharding.get_abstract_mesh()
+        extent = 1
+        for a in self.frame_axes:
+            extent *= mesh.shape[a]
+        if extent <= 1 or n_frames % extent or chunk % extent:
+            return 1
+        return extent
+
+    def _pack_shard_local(self, flat: jnp.ndarray, num_chunks: int,
+                          E: int) -> jnp.ndarray:
+        """[B*T, ...] -> [num_chunks, chunk, ...] with chunk c's slice
+        [d*chunk_l, (d+1)*chunk_l) = frames [d*per + c*chunk_l, ...) — i.e.
+        every device contributes its own frames to every chunk.  All three
+        steps preserve the device partition (split at the shard boundary,
+        transpose of a sharded dim, aligned merge), so SPMD lowers them
+        without collectives.  Inverse: ``_unpack_shard_local``."""
+        chunk_l = flat.shape[0] // (E * num_chunks)
+        g = self._shard_frames(
+            flat.reshape((E, num_chunks, chunk_l) + flat.shape[1:]), axis=0)
+        g = self._shard_frames(
+            g.transpose((1, 0) + tuple(range(2, g.ndim))), axis=1)
+        return self._shard_frames(
+            g.reshape((num_chunks, E * chunk_l) + g.shape[3:]), axis=1)
+
+    def _unpack_shard_local(self, o: jnp.ndarray, n_frames: int,
+                            E: int) -> jnp.ndarray:
+        """[num_chunks, chunk, ...] scan outputs back to canonical frame
+        order [B*T, ...] (identity reshape when E == 1)."""
+        if E > 1:
+            num_chunks, chunk = o.shape[:2]
+            o = self._shard_frames(
+                o.reshape((num_chunks, E, chunk // E) + o.shape[2:]), axis=1)
+            o = self._shard_frames(
+                o.transpose((1, 0) + tuple(range(2, o.ndim))), axis=0)
+            o = o.reshape((E * num_chunks * (chunk // E),) + o.shape[3:])
+        else:
+            o = o.reshape((o.shape[0] * o.shape[1],) + o.shape[2:])
+        assert o.shape[0] == n_frames
+        return self._shard_frames(o)
 
     def _auto_chunk(self, n_frames: int, H: int, W: int) -> int:
         """Frames per backbone micro-batch.  At 720x1280 a single frame's
@@ -197,6 +265,7 @@ class Trunk(nn.Module):
                 in_axes=0, out_axes=0, **coll,
             )(bn_train=bn_train and not self.is_initializing(),
               **step_kwargs)
+            E = self._pack_extent(B * T, chunk, bn_train)
             if self._frame_mesh_ready():
                 # two-step reshape: merge [B,T]->[B*T] first (axes sharded
                 # over ('data','model') merge natively) so the SPMD
@@ -204,13 +273,15 @@ class Trunk(nn.Module):
                 # the whole chain from [B,T,...] — avoids its involuntary
                 # full-rematerialisation fallback on the image tensor
                 flat = self._shard_frames(images.reshape(B * T, H, W * 3))
-                packed = self._shard_frames(
-                    flat.reshape(num_chunks, chunk, H, W * 3), axis=1)
+                if E > 1:
+                    packed = self._pack_shard_local(flat, num_chunks, E)
+                else:
+                    packed = self._shard_frames(
+                        flat.reshape(num_chunks, chunk, H, W * 3), axis=1)
             else:
                 packed = images.reshape(num_chunks, chunk, H, W * 3)
             _, outs = scanned(None, packed)
-            outputs = [self._shard_frames(
-                o.reshape((B * T,) + o.shape[2:])) for o in outs]
+            outputs = [self._unpack_shard_local(o, B * T, E) for o in outs]
 
         if not self.train_backbone:
             outputs = [jax.lax.stop_gradient(o) for o in outputs]
@@ -244,6 +315,28 @@ class Trunk(nn.Module):
                 roi = jax.lax.with_sharding_constraint(
                     roi, P(self.frame_axes[0]))
         return roi, multiscale, outputs
+
+
+def trunk_from_cfg(cfg, name: str = "trunk") -> "Trunk":
+    """The one place cfg knobs map to Trunk fields (every model builds its
+    trunk here — keep new knobs wired in this single spot)."""
+    from din_tpu.parallel import mesh as mesh_lib
+
+    return Trunk(backbone=cfg.backbone, out_size=tuple(cfg.out_size),
+                 crop_size=tuple(cfg.crop_size),
+                 train_backbone=cfg.train_backbone,
+                 compute_dtype=jnp.dtype(cfg.compute_dtype),
+                 roi_align_impl=cfg.roi_align_impl,
+                 frame_chunk=cfg.frame_chunk,
+                 remat_policy=getattr(cfg, "remat_policy", "full"),
+                 remat_backbone=getattr(cfg, "remat_backbone", True),
+                 folded_stem=getattr(cfg, "folded_stem", True),
+                 fuse_multiscale_roi=getattr(cfg, "fuse_multiscale_roi",
+                                             True),
+                 frame_axes=mesh_lib.frame_axes(cfg),
+                 shard_local_chunks=getattr(cfg, "shard_local_chunks",
+                                            "auto"),
+                 name=name)
 
 
 class EmbedActors(nn.Module):

@@ -424,6 +424,21 @@ BACKBONES = {
     "alex": AlexNetBackbone,
 }
 
+# Whether the trunk carries live BatchNorm statistics in train mode —
+# consumers that regroup frames across batch positions (the shard-local
+# chunk packing in models/trunk.py) must not change numerics for these.
+# Matches torchvision: plain vgg16/vgg19 and alexnet have no BN
+# (ref backbone/backbone.py: MyVGG16/MyVGG19/MyAlex use the BN-free
+# torchvision variants).
+BACKBONE_HAS_BN = {
+    "inv3": True,
+    "vgg16": False,
+    "vgg19": False,
+    "res18": True,
+    "res50": True,
+    "alex": False,
+}
+
 
 def build_backbone(name: str, dtype=jnp.float32, **kwargs) -> nn.Module:
     """kwargs: backbone-specific knobs (e.g. ``folded_stem`` for VGG);

@@ -262,6 +262,10 @@ def main(argv: Optional[list] = None):
     parser.add_argument("--mode", choices=["dp", "frame_parallel"],
                         default="dp")
     parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--shard-local", choices=["auto", "on", "off"],
+                        default=None,
+                        help="override cfg.shard_local_chunks for A/B of "
+                             "the shard-local chunk packing")
     args = parser.parse_args(argv)
 
     import jax
@@ -277,6 +281,8 @@ def main(argv: Optional[list] = None):
     cfg = cfg.replace(
         mesh_shape={"data": data_axis, "model": args.model_axis},
         batch_size=args.batch_size or max(cfg.batch_size, data_axis))
+    if args.shard_local:
+        cfg = cfg.replace(shard_local_chunks=args.shard_local)
     r = analyze_step(cfg, args.devices,
                      frame_parallel=args.mode == "frame_parallel")
     print(format_report(r))

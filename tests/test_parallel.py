@@ -262,3 +262,71 @@ def test_data_parallel_chunked_trunk_is_sharded_and_matches():
                     jax.tree_util.tree_leaves(new_s.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=5e-4)
+
+
+def test_shard_local_chunk_packing_matches_and_removes_repacking():
+    """Shard-local chunk packing (models/trunk.py _pack_shard_local): with a
+    BN-free trunk (vgg16) the permuted dp program must (a) match the
+    single-device update and (b) contain far less non-all-reduce collective
+    traffic than the order-preserving packing, whose [B*T]->[chunks,chunk]
+    reshape crosses batch-shard boundaries and forces the SPMD partitioner
+    to move the frame tensor over ICI every step."""
+    from din_tpu.parallel.scaling import parse_collectives
+    from din_tpu.train.engine import make_train_step as mts
+
+    cfg = Config("volleyball").replace(
+        training_stage=2, inference_module_name="dynamic_volleyball",
+        data_path="synthetic", backbone="vgg16", image_size=(64, 96),
+        out_size=(2, 3), emb_features=512, num_frames=2, num_boxes=12,
+        num_features_boxes=32, num_features_gcn=32, lite_dim=None,
+        ST_kernel_size=((3, 3),), sampling_ratio=[1], beta_factor=False,
+        batch_size=8, compute_dtype="float32", train_backbone=True,
+        frame_chunk=8)                       # 16 frames -> 2 chunks of 8
+    ds = SyntheticDataset(cfg, size=8)
+    samples = [ds[i] for i in range(8)]
+    batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    model = build_model(cfg)
+    variables = init_model(cfg, model, batch)
+    tx = make_optimizer(cfg, variables["params"])
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]),
+                       rng=jax.random.PRNGKey(3))
+    has_bn = bool(variables.get("batch_stats"))
+
+    dev0 = jax.devices()[0]
+    step1 = mts(model, cfg, tx, frame0_labels=True, has_bn=has_bn,
+                donate=False)
+    new0, m0 = step1(jax.device_put(state, dev0), jax.device_put(batch, dev0))
+
+    def repack_bytes(compiled):
+        return sum(c["bytes"] for c in parse_collectives(compiled.as_text())
+                   if c["op"] != "all-reduce")
+
+    mesh = make_mesh(cfg.replace(mesh_shape={"data": 8, "model": 1}))
+    results = {}
+    with jax.set_mesh(mesh):
+        state_r = jax.device_put(state, replicated_sharding(mesh))
+        batch_s = jax.device_put(batch, batch_sharding(mesh))
+        for mode in ("off", "auto"):
+            cfg_m = cfg.replace(mesh_shape={"data": 8, "model": 1},
+                                shard_local_chunks=mode)
+            step_m = mts(build_model(cfg_m), cfg_m, tx, frame0_labels=True,
+                         has_bn=has_bn, donate=False)
+            compiled = step_m.lower(state_r, batch_s).compile()
+            results[mode] = (repack_bytes(compiled), step_m)
+
+    assert results["off"][0] > 0            # old packing does move frames
+    # permuted packing: only the small head/eval gathers may remain
+    assert results["auto"][0] < results["off"][0] / 4, \
+        (results["auto"][0], results["off"][0])
+
+    with jax.set_mesh(mesh):
+        new_s, m_s = results["auto"][1](state_r, batch_s)
+        jax.block_until_ready(m_s["loss"])
+    np.testing.assert_allclose(float(m0["loss"]), float(m_s["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(new0.params),
+                    jax.tree_util.tree_leaves(new_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=5e-4)
