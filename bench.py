@@ -111,17 +111,29 @@ _FLOPS_CACHE_PATH = os.path.join(
 _SRC_HASH = None
 
 
+# Only sources that can change the TRACED PROGRAMS participate in the
+# fingerprint: hashing the whole tree invalidated every committed cache
+# entry on ANY commit (round 3's driver run recomputed mfu and skipped the
+# collective recipe because serving-only edits had drifted the hash).
+_PROGRAM_DIRS = ("models", "nn", "ops", "heads", "train", "parallel")
+_PROGRAM_FILES = ("config.py", os.path.join("data", "synthetic.py"))
+
+
 def _source_hash() -> str:
     global _SRC_HASH
     if _SRC_HASH is None:
         import hashlib
         h = hashlib.sha1()
         root = os.path.dirname(os.path.abspath(__file__))
-        files = [os.path.abspath(__file__)]
-        for dirpath, _dirnames, filenames in os.walk(
-                os.path.join(root, "din_tpu")):
-            files.extend(os.path.join(dirpath, f)
-                         for f in filenames if f.endswith(".py"))
+        files = [os.path.abspath(__file__),
+                 os.path.join(root, "__graft_entry__.py")]
+        files.extend(os.path.join(root, "din_tpu", f)
+                     for f in _PROGRAM_FILES)
+        for d in _PROGRAM_DIRS:
+            for dirpath, _dirnames, filenames in os.walk(
+                    os.path.join(root, "din_tpu", d)):
+                files.extend(os.path.join(dirpath, f)
+                             for f in filenames if f.endswith(".py"))
         for f in sorted(files):
             with open(f, "rb") as fh:
                 h.update(fh.read())
