@@ -60,6 +60,9 @@ def export_predictor(predictor, batch: Optional[int] = None,
     export requires every op to lower for every target — use the XLA
     RoIAlign paths (cfg.roi_align_impl != 'pallas') for portable artifacts.
     """
+    if getattr(predictor, "mesh", None) is not None:
+        raise ValueError("export a single-chip Predictor (mesh=None); the "
+                         "exported artifact is a per-host program")
     k = batch or predictor.pad_to or 1
     args = _example_args(predictor.cfg, k)
     variables = predictor._variables

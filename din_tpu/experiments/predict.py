@@ -53,8 +53,11 @@ def chunked_padded_call(fwd, pad_to: int, images, boxes,
             return np.concatenate(          # repeat a valid clip
                 [sl] + [sl[:1]] * (k - n), axis=0)
 
-        out = fwd(jnp.asarray(pad(images)), jnp.asarray(pad(boxes)),
-                  None if bboxes_num is None else jnp.asarray(pad(bboxes_num)))
+        # host-side (numpy) padding; fwd owns device placement — the live
+        # Predictor device_puts per its mesh, the exported program takes
+        # numpy directly
+        out = fwd(pad(images), pad(boxes),
+                  None if bboxes_num is None else pad(bboxes_num))
 
         def _valid_rows(v):
             # Leading dim must be batch-major (a multiple of k) for the
@@ -81,14 +84,33 @@ class Predictor:
     chunks) and answered by the ONE compiled program — clips are
     independent in eval mode (batch_stats BN), so padding rows cannot
     alter real rows (sliced off before returning).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` for data-parallel serving —
+    params replicate once at construction, each padded batch shards over
+    the 'data' axis, and XLA runs the one program SPMD across the chips
+    (``pad_to`` rounds up to a multiple of the data axis).  The reference
+    has no multi-GPU inference at all (nn.DataParallel is train-only in
+    its drivers, train_net.py:77-78).
     """
 
-    def __init__(self, cfg, variables, pad_to: Optional[int] = None):
+    def __init__(self, cfg, variables, pad_to: Optional[int] = None,
+                 mesh=None):
         from din_tpu.models.registry import build_model
 
         if pad_to is not None and pad_to < 1:
             raise ValueError(f"pad_to must be >= 1, got {pad_to}")
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            # data-parallel serving: the padded batch shards over 'data'
+            # (clips are independent in eval mode), params replicate once.
+            # pad_to rounds UP to a multiple of the data axis so every
+            # request shape divides the mesh.
+            from din_tpu.parallel.mesh import replicated_sharding
+            n_data = mesh.shape["data"]
+            pad_to = max(pad_to or n_data, 1)
+            pad_to = ((pad_to + n_data - 1) // n_data) * n_data
+            variables = jax.device_put(variables, replicated_sharding(mesh))
         self.model = build_model(cfg)
         self._variables = variables
         self.pad_to = pad_to
@@ -107,7 +129,7 @@ class Predictor:
 
     @classmethod
     def from_checkpoint(cls, cfg, ckpt_path: Optional[str] = None,
-                        pad_to: Optional[int] = None):
+                        pad_to: Optional[int] = None, mesh=None):
         """Build the model and (optionally) load a stage-2 checkpoint
         (params + batch_stats; optimizer state ignored)."""
         from din_tpu.train import checkpoint as ckpt_lib
@@ -122,7 +144,25 @@ class Predictor:
         if ckpt_path:
             variables, _, _, _ = ckpt_lib.load_stage2_model(variables,
                                                             ckpt_path)
-        return cls(cfg, variables, pad_to=pad_to)
+        return cls(cfg, variables, pad_to=pad_to, mesh=mesh)
+
+    def _run(self, images, boxes, bboxes_num) -> Dict:
+        """One fixed-shape program invocation, owning device placement:
+        single-chip puts inputs on the default device; with a mesh the
+        batch axis shards over 'data' and the call runs under the ambient
+        mesh (the trunk's sharding constraints resolve against it)."""
+        if self.mesh is None:
+            args = (jnp.asarray(images), jnp.asarray(boxes),
+                    None if bboxes_num is None else jnp.asarray(bboxes_num))
+            return self._fwd(self._variables, *args)
+        from din_tpu.parallel.mesh import batch_sharding
+        s = batch_sharding(self.mesh)
+        args = (jax.device_put(np.asarray(images), s),
+                jax.device_put(np.asarray(boxes), s),
+                None if bboxes_num is None
+                else jax.device_put(np.asarray(bboxes_num), s))
+        with jax.set_mesh(self.mesh):
+            return self._fwd(self._variables, *args)
 
     def __call__(self, images, boxes, bboxes_num=None) -> Dict:
         """images [B,T,H,W,3] uint8; boxes [B,T,N,4] feature-map coords.
@@ -130,15 +170,12 @@ class Predictor:
         as numpy arrays."""
         if self.pad_to is not None:
             return self._call_padded(images, boxes, bboxes_num)
-        out = self._fwd(self._variables, jnp.asarray(images),
-                        jnp.asarray(boxes),
-                        None if bboxes_num is None else jnp.asarray(bboxes_num))
+        out = self._run(images, boxes, bboxes_num)
         return {k: np.asarray(v) for k, v in out.items()}
 
     def _call_padded(self, images, boxes, bboxes_num=None) -> Dict:
-        return chunked_padded_call(
-            lambda i, b, n: self._fwd(self._variables, i, b, n),
-            self.pad_to, images, boxes, bboxes_num)
+        return chunked_padded_call(self._run, self.pad_to, images, boxes,
+                                   bboxes_num)
 
 
 def main(argv=None):

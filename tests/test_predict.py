@@ -64,3 +64,53 @@ def test_predictor_rejects_bad_pad_and_empty():
     batch = _make_batch(cfg, batch_size=1)
     with pytest.raises(ValueError, match="empty request"):
         padded(batch["images"][:0], batch["boxes"][:0])
+
+
+def test_predictor_mesh_data_parallel_serving():
+    """Data-parallel serving (Predictor(mesh=...)): the padded batch shards
+    over 'data', params replicate, outputs match the single-chip answers,
+    and the per-device program carries a fraction of the single-chip
+    flops (genuinely SPMD, not replicated)."""
+    import jax
+    import pytest
+
+    from din_tpu.parallel.mesh import batch_sharding, make_mesh, \
+        replicated_sharding
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    cfg = _flagship_cfg(tiny=True).replace(batch_size=2)
+    single = Predictor.from_checkpoint(cfg, None)
+    mesh = make_mesh(cfg.replace(mesh_shape={"data": 8, "model": 1}))
+    served = Predictor(cfg, single._variables, pad_to=3, mesh=mesh)
+    assert served.pad_to == 8                    # rounded up to the axis
+
+    big = _make_batch(cfg, batch_size=5)
+    ref = single(big["images"], big["boxes"])
+    got = served(big["images"], big["boxes"])
+    for k in ref:
+        assert got[k].shape == ref[k].shape
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-5)
+
+    # per-device flops of the sharded program << single-chip program at the
+    # same batch shape (8): SPMD partitioning, not replication
+    def flops(pred, k):
+        imgs = np.repeat(big["images"][:1], k, axis=0)
+        bxs = np.repeat(big["boxes"][:1], k, axis=0)
+        if pred.mesh is None:
+            args = (pred._variables, imgs, bxs, None)
+            lowered = pred._fwd.lower(*args)
+        else:
+            s = batch_sharding(pred.mesh)
+            args = (jax.device_put(pred._variables,
+                                   replicated_sharding(pred.mesh)),
+                    jax.device_put(imgs, s), jax.device_put(bxs, s), None)
+            with jax.set_mesh(pred.mesh):
+                lowered = pred._fwd.lower(*args)
+        analysis = lowered.compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return float(dict(analysis)["flops"])
+
+    assert flops(served, 8) < flops(single, 8) / 3
