@@ -37,11 +37,25 @@ def save_checkpoint(path: str, payload: Dict[str, Any],
                     backend: str = "msgpack") -> None:
     if backend == "orbax":
         import orbax.checkpoint as ocp
+        from jax.sharding import NamedSharding, SingleDeviceSharding
+
+        def orbax_safe(x):
+            # jax.Array leaves keep their sharding so model-sharded params
+            # on a pod are written distributed — but orbax can only
+            # serialize Named/SingleDevice shardings.  jit outputs under an
+            # ambient mesh carry GSPMDSharding (the engine's jitted
+            # optimizer init, e.g.), which orbax silently OMITS from the
+            # _sharding file and then fails to restore; pull those to host
+            # when fully addressable (single-host: always).
+            if isinstance(x, jax.Array) and x.is_fully_addressable and \
+                    not isinstance(x.sharding,
+                                   (NamedSharding, SingleDeviceSharding)):
+                return np.asarray(x)
+            return x
+
         ckptr = ocp.StandardCheckpointer()
-        # save the payload as-is: jax.Array leaves keep their sharding, so
-        # model-sharded params on a pod are written distributed (np.asarray
-        # here would raise on non-fully-addressable arrays)
-        ckptr.save(os.path.abspath(path), payload, force=True)
+        ckptr.save(os.path.abspath(path),
+                   jax.tree_util.tree_map(orbax_safe, payload), force=True)
         ckptr.wait_until_finished()
         return
     data = serialization.msgpack_serialize(_to_host(payload))

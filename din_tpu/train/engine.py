@@ -257,7 +257,24 @@ def newest_resumable(result_path: str, training_stage: int):
 
 def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
     """Full training driver (reference train_net.py:28-137).  Returns the
-    best eval info dict."""
+    best eval info dict.
+
+    Multi-device runs execute under an ambient mesh (SCOPED here — a bare
+    ``jax.set_mesh`` would leak the mesh process-globally and taint every
+    later jit in the process, e.g. a caller's single-device work): the
+    trunk's frame-sharding constraints resolve against it.  Required for
+    frame_parallel, and for plain dp it keeps the chunked frame scan
+    SHARDED — without it SPMD replicates the whole trunk scan on every
+    device (parallel/mesh.py frame_axes).  Single-device runs skip it so
+    their compiled programs (and caches) are unchanged."""
+    mesh = make_mesh(cfg)
+    if mesh.size > 1:
+        with jax.set_mesh(mesh):
+            return _train_net(cfg, max_steps_per_epoch, mesh)
+    return _train_net(cfg, max_steps_per_epoch, mesh)
+
+
+def _train_net(cfg, max_steps_per_epoch: Optional[int], mesh):
     cfg.init_config()
     show_config(cfg)
     if cfg.debug_nans:
@@ -292,15 +309,6 @@ def train_net(cfg, max_steps_per_epoch: Optional[int] = None):
                              drop_last=False, pad_last=True,
                              process_index=pi, process_count=pc)
 
-    mesh = make_mesh(cfg)
-    if mesh.size > 1:
-        # install the mesh ambiently so the trunk's frame-sharding
-        # constraints resolve (models/trunk.py frame_axes).  Required for
-        # frame_parallel, and for plain dp it keeps the chunked frame scan
-        # SHARDED — without it SPMD replicates the whole trunk scan on
-        # every device (parallel/mesh.py frame_axes).  Single-device runs
-        # skip it so their compiled programs (and caches) are unchanged.
-        jax.set_mesh(mesh)
     _data_sharding = batch_sharding(mesh)
     if getattr(cfg, "frame_parallel", False):
         # batch over 'data' AND the frame (T) axis over 'model', so the
