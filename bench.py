@@ -116,7 +116,8 @@ _SRC_HASH = None
 # entry on ANY commit (round 3's driver run recomputed mfu and skipped the
 # collective recipe because serving-only edits had drifted the hash).
 _PROGRAM_DIRS = ("models", "nn", "ops", "heads", "train", "parallel")
-_PROGRAM_FILES = ("config.py", os.path.join("data", "synthetic.py"))
+_PROGRAM_FILES = ("config.py", os.path.join("data", "synthetic.py"),
+                  os.path.join("utils", "masking.py"))  # used in model fwds
 
 
 def _source_hash() -> str:
@@ -149,15 +150,25 @@ def _cfg_fingerprint(cfg) -> str:
     return hashlib.sha1(payload.encode()).hexdigest()[:16]
 
 
+def _read_cache_hit(key: str, fp: str):
+    """(cache_dict, hit_flops_or_None) for `key` at fingerprint `fp`."""
+    try:
+        with open(_FLOPS_CACHE_PATH) as f:
+            cache = json.load(f)
+    except Exception:
+        cache = {}
+    ent = cache.get(key)
+    if isinstance(ent, dict) and ent.get("fp") == fp:
+        return cache, float(ent["flops"])
+    return cache, None
+
+
 def _flops_cache_warm(key: str, cfg) -> bool:
     """True if the committed flop cache holds `key` at the CURRENT source
     fingerprint — i.e. the persistent compile cache was warmed for exactly
     this source tree + config and the recipe's compile will be a hit."""
     try:
-        with open(_FLOPS_CACHE_PATH) as f:
-            cache = json.load(f)
-        ent = cache.get(key)
-        return isinstance(ent, dict) and ent.get("fp") == _cfg_fingerprint(cfg)
+        return _read_cache_hit(key, _cfg_fingerprint(cfg))[1] is not None
     except Exception:
         return False
 
@@ -165,15 +176,10 @@ def _flops_cache_warm(key: str, cfg) -> bool:
 def _cached_flops(key: str, cfg, compute_fn, need_s: float, phase: str):
     """Return (flops, from_cache).  Cache hit: instant.  Miss: compute if
     the wall-clock budget allows, store, return; else (nan, False)."""
-    try:
-        with open(_FLOPS_CACHE_PATH) as f:
-            cache = json.load(f)
-    except Exception:
-        cache = {}
     fp = _cfg_fingerprint(cfg)
-    ent = cache.get(key)
-    if isinstance(ent, dict) and ent.get("fp") == fp:
-        return float(ent["flops"]), True
+    cache, hit = _read_cache_hit(key, fp)
+    if hit is not None:
+        return hit, True
     if not _time_left(need_s, phase):
         return float("nan"), False
     flops = compute_fn()
@@ -265,16 +271,24 @@ def _build_step(cfg):
     t0 = time.perf_counter()
     model = build_model(cfg)
     batch = _make_batch(cfg, batch_size=cfg.batch_size)
+    def sync(tree):
+        # block_until_ready does not reliably block over the remote tunnel
+        # (CLAUDE.md) — force a host transfer of one leaf as the sync point
+        leaves = [x for x in jax.tree_util.tree_leaves(tree)
+                  if hasattr(x, "ravel")]
+        if leaves:
+            float(jax.numpy.asarray(leaves[0]).ravel()[0])
+
     t1 = time.perf_counter()
     variables = init_model(cfg, model, batch)
-    jax.block_until_ready(variables["params"])
+    sync(variables["params"])
     t2 = time.perf_counter()
     tx = make_optimizer(cfg, variables["params"])
     state = TrainState(params=variables["params"],
                        batch_stats=variables.get("batch_stats", {}),
                        opt_state=jax.jit(tx.init)(variables["params"]),
                        rng=jax.random.PRNGKey(0))
-    jax.block_until_ready(state.opt_state)
+    sync(state.opt_state)
     _log({"metric": "build_breakdown_s",
           "batch_s": round(t1 - t0, 1), "init_s": round(t2 - t1, 1),
           "opt_s": round(time.perf_counter() - t2, 1)})
@@ -571,11 +585,11 @@ def _secondary_recipes():
         # a flop-cache fingerprint hit proves THIS source+config was warmed
         # (bench_flops_cache.json is committed together with .jax_cache),
         # so compile will be a persistent-cache hit: build+steps only.
-        need = 120 if _flops_cache_warm(name, make_cfg()) else 240
+        cfg = make_cfg()
+        need = 120 if _flops_cache_warm(name, cfg) else 240
         if not _time_left(need, name):
             continue
         try:
-            cfg = make_cfg()
             dt, _, flops_fn = _bench_train_step(cfg, warmup=1, iters=3)
             frames_per_clip = cfg.num_frames
             clips = cfg.batch_size / dt

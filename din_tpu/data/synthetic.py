@@ -47,3 +47,34 @@ class SyntheticDataset:
             actions[:, n_valid:] = -1
             sample["bboxes_num"] = counts
         return sample
+
+
+def make_synthetic_batch(cfg, batch_size, rng=None):
+    """One stacked synthetic batch at cfg geometry (images/boxes/labels,
+    plus collective bboxes_num) — init shapes for serving/export, bench
+    fixtures, and the driver entry points (__graft_entry__ delegates
+    here so library modules never import the repo-root harness)."""
+    rng = rng or np.random.RandomState(0)
+    H, W = cfg.image_size
+    T, N = cfg.num_frames, cfg.num_boxes
+    OH, OW = cfg.out_size
+    images = rng.randint(0, 255, (batch_size, T, H, W, 3)).astype(np.uint8)
+    x1 = rng.uniform(0, max(OW - 2, 1), (batch_size, T, N))
+    y1 = rng.uniform(0, max(OH - 2, 1), (batch_size, T, N))
+    boxes = np.stack([x1, y1, x1 + 1.5, y1 + 1.5], -1).astype(np.float32)
+    actions = rng.randint(0, cfg.num_actions,
+                          (batch_size, T, N)).astype(np.int32)
+    activities = rng.randint(0, cfg.num_activities,
+                             (batch_size, T)).astype(np.int32)
+    batch = {"images": images, "boxes": boxes, "actions": actions,
+             "activities": activities}
+    if cfg.dataset_name == "collective":
+        # variable true actor counts + -1-padded actions (data/collective.py);
+        # the count is constant within a clip (loader contract: the model
+        # reads bboxes_num[:, 0], models/dynamic.py)
+        bn = np.repeat(rng.randint(1, N + 1, (batch_size, 1)), T,
+                       axis=1).astype(np.int32)
+        mask = np.arange(N)[None, None, :] < bn[:, :, None]
+        batch["actions"] = np.where(mask, actions, -1).astype(np.int32)
+        batch["bboxes_num"] = bn
+    return batch

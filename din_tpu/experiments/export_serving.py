@@ -41,9 +41,9 @@ _MAGIC = b"DINTPUX1"
 def _example_args(cfg, batch: int):
     """Fixed-shape example arguments for the exported program (shapes from
     cfg exactly as the live Predictor sees them; values irrelevant)."""
-    from __graft_entry__ import _make_batch
+    from din_tpu.data.synthetic import make_synthetic_batch
 
-    sample = _make_batch(cfg, batch_size=batch)
+    sample = make_synthetic_batch(cfg, batch_size=batch)
     args = [sample["images"], sample["boxes"]]
     if "bboxes_num" in sample:          # collective: variable actor counts
         args.append(sample["bboxes_num"])

@@ -136,8 +136,8 @@ class Predictor:
         from din_tpu.train.engine import init_model
 
         cfg.init_config()
-        from __graft_entry__ import _make_batch  # synthetic init shapes
-        sample = _make_batch(cfg, batch_size=1)
+        from din_tpu.data.synthetic import make_synthetic_batch
+        sample = make_synthetic_batch(cfg, batch_size=1)  # init shapes
         from din_tpu.models.registry import build_model
         model = build_model(cfg)
         variables = init_model(cfg, model, sample)
@@ -190,8 +190,8 @@ def main(argv=None):
 
     cfg = PRESETS[args.preset]()
     predictor = Predictor.from_checkpoint(cfg, args.ckpt)
-    from __graft_entry__ import _make_batch
-    batch = _make_batch(cfg, batch_size=args.batch)
+    from din_tpu.data.synthetic import make_synthetic_batch
+    batch = make_synthetic_batch(cfg, batch_size=args.batch)
     out = predictor(batch["images"], batch["boxes"])
     top = out["activities"].argmax(-1)
     for b in range(args.batch):

@@ -127,6 +127,16 @@ class Trunk(nn.Module):
         for a in axes:
             extent *= mesh.shape[a]
         if extent <= 1 or x.shape[axis] % extent:
+            if extent > 1:
+                # dropping the constraint lets SPMD fall back to REPLICATING
+                # the trunk (the zero-speedup pathology PERF.md documents) —
+                # make the silent degradation visible at trace time
+                import warnings
+                warnings.warn(
+                    f"frame axis of extent {x.shape[axis]} does not divide "
+                    f"the {axes} mesh extent {extent}; sharding constraint "
+                    f"dropped — the trunk may replicate (pick batch_size*T "
+                    f"divisible by the mesh)", stacklevel=2)
             return x
         spec = [None] * x.ndim
         spec[axis] = axes if len(axes) > 1 else axes[0]

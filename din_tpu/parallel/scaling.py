@@ -72,6 +72,10 @@ def parse_collectives(hlo_text: str) -> List[Dict[str, Any]]:
         if not m:
             continue
         shapes = _SHAPE_RE.findall(m.group("outs"))
+        if "-start(" in line and len(shapes) > 1 and len(shapes) % 2 == 0:
+            # async start ops return (operands..., results...) — count only
+            # the result half, or the operand aliases double the bytes
+            shapes = shapes[len(shapes) // 2:]
         total = sum(_shape_bytes(dt, dims) for dt, dims in shapes)
         group = None
         gb = _GROUPS_BRACE_RE.search(line)
@@ -100,7 +104,11 @@ def ring_bytes_per_chip(op: str, out_bytes: int, group: int) -> float:
     frac = (n - 1) / n
     if op == "all-reduce":
         return 2.0 * frac * out_bytes          # reduce-scatter + all-gather
-    if op in ("all-gather", "reduce-scatter", "all-to-all"):
+    if op == "reduce-scatter":
+        # HLO output is the per-device SHARD: each chip moves (n-1) shards
+        return (n - 1.0) * out_bytes
+    if op in ("all-gather", "all-to-all"):
+        # HLO output is the full result; each chip moves (n-1)/n of it
         return frac * out_bytes
     if op == "collective-permute":
         return float(out_bytes)
@@ -118,7 +126,7 @@ def analyze_step(cfg, n_devices: int, frame_parallel: bool = False,
     virtual host-CPU mesh."""
     import jax
 
-    from __graft_entry__ import _make_batch
+    from din_tpu.data.synthetic import make_synthetic_batch
     from din_tpu.models.registry import build_model
     from din_tpu.parallel.mesh import (batch_sharding, frame_batch_sharding,
                                        make_mesh, param_sharding,
@@ -135,7 +143,7 @@ def analyze_step(cfg, n_devices: int, frame_parallel: bool = False,
     if frame_parallel:
         cfg = cfg.replace(frame_parallel=True)
     model = build_model(cfg)
-    batch = _make_batch(cfg, batch_size=cfg.batch_size)
+    batch = make_synthetic_batch(cfg, batch_size=cfg.batch_size)
     batch_abs = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), batch)
     variables = jax.eval_shape(lambda b: init_model(cfg, model, b),

@@ -506,7 +506,13 @@ def _train_net(cfg, max_steps_per_epoch: Optional[int], mesh):
             # one eval pass on the loaded weights, no training (first-class
             # form of the reference's test_before_train + max_epoch=0 hack)
             info = run_eval(state, start_epoch - 1, stop)
-            info.pop("preempted", None)
+            if info.pop("preempted", False):
+                # partial metrics from an aborted eval pass must not be
+                # reported as the checkpoint's score
+                print_log(cfg.log_path,
+                          "eval_only pass preempted mid-eval; partial "
+                          "metrics discarded — rerun to score")
+                return {"preempted": True}
             show_epoch_info("Test", cfg.log_path, info)
             return info
 
