@@ -151,6 +151,25 @@ def test_frame_parallel_matches_single_device():
                                    rtol=2e-3, atol=5e-4)
 
 
+def test_trunk_warns_on_indivisible_frame_axis():
+    """A dropped frame-sharding constraint lets SPMD silently REPLICATE
+    the trunk (the zero-speedup dp pathology PERF.md documents);
+    models/trunk.py must surface it as a trace-time warning when
+    batch*T doesn't divide the mesh extent."""
+    from din_tpu.data.synthetic import make_synthetic_batch
+    from din_tpu.train.engine import make_train_step
+
+    cfg, model, state, step, batch = _setup()
+    cfg3 = cfg.replace(batch_size=3, mesh_shape={"data": 8, "model": 1})
+    batch3 = make_synthetic_batch(cfg3, batch_size=3)   # 6 frames % 8 != 0
+    tx = make_optimizer(cfg3, state.params)
+    step3 = make_train_step(build_model(cfg3), cfg3, tx, frame0_labels=True,
+                            has_bn=True, donate=False)
+    with jax.set_mesh(make_mesh(cfg3)):
+        with pytest.warns(UserWarning, match="does not divide"):
+            jax.eval_shape(step3, state, batch3)
+
+
 def test_mesh_shapes():
     mesh = make_mesh(None)
     assert mesh.shape["data"] * mesh.shape["model"] == len(jax.devices())
