@@ -30,10 +30,27 @@ def test_parse_collectives_variadic_and_groups():
     assert cs[2]["bytes"] == 16 * 32 * 4 and cs[2]["group_size"] == 2
 
 
+def test_parse_collectives_async_start_counts_results_only():
+    """Async collectives (all-gather-start etc.) return a tuple of
+    (operands..., results...) — only the result half is traffic; counting
+    the operand aliases would double the bytes."""
+    hlo = """
+  %ag = (f32[16,32]{1,0}, f32[32,32]{1,0}) all-gather-start(%y), replica_groups={{0,1}}, dimensions={0}
+  %ar = (f32[64]{0}, f32[64]{0}) all-reduce-start(%x), replica_groups={{0,1,2,3}}, to_apply=%add
+"""
+    cs = parse_collectives(hlo)
+    assert [c["op"] for c in cs] == ["all-gather", "all-reduce"]
+    assert cs[0]["bytes"] == 32 * 32 * 4          # result half only
+    assert cs[1]["bytes"] == 64 * 4
+
+
 def test_ring_model():
     assert ring_bytes_per_chip("all-reduce", 100, 1) == 0
     assert np.isclose(ring_bytes_per_chip("all-reduce", 800, 8), 1400.0)
     assert np.isclose(ring_bytes_per_chip("all-gather", 800, 8), 700.0)
+    # reduce-scatter's HLO output is the per-device SHARD — each chip
+    # moves (n-1) shard-sized messages around the ring
+    assert np.isclose(ring_bytes_per_chip("reduce-scatter", 100, 8), 700.0)
 
 
 def test_dp_grad_allreduce_matches_param_bytes():
