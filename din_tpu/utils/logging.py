@@ -30,8 +30,32 @@ def show_config(cfg) -> None:
     print_log(cfg.log_path, "======================End=======================")
 
 
+def _jsonable(v):
+    if hasattr(v, "tolist"):
+        return v.tolist()
+    if isinstance(v, (np.floating, np.integer)):
+        return v.item()
+    return v
+
+
+def append_metrics_jsonl(log_path: Optional[str], phase: str,
+                         info: dict) -> None:
+    """Machine-readable epoch stream beside log.txt (beyond reference
+    parity: the reference only writes the human log + a pickle db,
+    utils.py:101-158).  One JSON object per epoch/phase — the thing a
+    production monitor actually tails."""
+    if log_path is None:
+        return
+    path = os.path.join(os.path.dirname(log_path), "metrics.jsonl")
+    rec = {"phase": phase}
+    rec.update({k: _jsonable(v) for k, v in info.items()})
+    with open(path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
 def show_epoch_info(phase: str, log_path: Optional[str], info: dict) -> None:
-    """Per-epoch metric report (utils.py:113-129)."""
+    """Per-epoch metric report (utils.py:113-129) + metrics.jsonl record."""
+    append_metrics_jsonl(log_path, phase, info)
     print_log(log_path, "")
     if phase == "Test":
         print_log(log_path, "====> %s at epoch #%d" % (phase, info["epoch"]))

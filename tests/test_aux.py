@@ -160,3 +160,36 @@ def test_keep_checkpoints_engine(tmp_path):
                if f.endswith(".ckpt")]
     # 3 epochs saved; retention keeps newest 1 + best (may coincide)
     assert 1 <= len(regular) <= 2
+
+
+def test_inspect_ckpt(tmp_path, capsys):
+    """Checkpoint inspection CLI: structure summary for din_tpu msgpack
+    checkpoints and reference .pth dumps (din_tpu/train/inspect_ckpt.py)."""
+    import numpy as np
+
+    from din_tpu.train.checkpoint import save_checkpoint
+    from din_tpu.train.inspect_ckpt import describe
+
+    path = str(tmp_path / "stage2_epoch3_50.00%.ckpt")
+    save_checkpoint(path, {
+        "epoch": 3,
+        "params": {"trunk": {"w": np.zeros((4, 8), np.float32)},
+                   "head": {"b": np.ones((8,), np.float32)}},
+        "batch_stats": {},
+    })
+    info = describe(path, full=True)
+    assert info["scalars"]["epoch"] == 3
+    assert info["subtrees"]["params"]["elements"] == 40
+    out = capsys.readouterr().out
+    assert "params/trunk/w: (4, 8) float32" in out
+
+    try:
+        import torch
+    except ImportError:
+        return
+    pth = str(tmp_path / "ref.pth")
+    torch.save({"epoch": 1, "state_dict":
+                {"fc.weight": torch.zeros(2, 3)}, "optimizer": {}}, pth)
+    info = describe(pth)
+    assert info["kind"] == "torch"
+    assert info["subtrees"]["state_dict"]["elements"] == 6

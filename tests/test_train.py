@@ -85,6 +85,13 @@ def test_engine_stage2_synthetic(tmp_path):
     files = os.listdir(cfg.result_path)
     assert any(f.endswith(".ckpt") for f in files)
     assert "log.txt" in files
+    # machine-readable epoch stream: one JSON object per epoch/phase
+    import json
+    recs = [json.loads(line) for line in
+            open(os.path.join(cfg.result_path, "metrics.jsonl"))]
+    phases = {r["phase"] for r in recs}
+    assert {"Train", "Test"} <= phases
+    assert all("activities_acc" in r and "loss" in r for r in recs)
 
 
 def test_engine_stage1_then_stage2_graft(tmp_path):
