@@ -56,6 +56,9 @@ def main(argv=None):
                         help="run one eval pass on the loaded weights "
                              "(e.g. --ref-checkpoint-path / "
                              "--stage1-model-path) and exit — no training")
+    parser.add_argument("--pretrained-backbone-path", default=None,
+                        help="torchvision state_dict file for ImageNet "
+                             "backbone init (stage 1; nn/torch_port.py)")
     args = parser.parse_args(argv)
 
     cfg = PRESETS[args.preset]()
@@ -92,6 +95,8 @@ def main(argv=None):
         overrides["hflip_prob"] = args.hflip_prob
     if args.eval_only:
         overrides["eval_only"] = True
+    if args.pretrained_backbone_path:
+        overrides["pretrained_backbone_path"] = args.pretrained_backbone_path
     if overrides:
         cfg = cfg.replace(**overrides)
     best = train_net(cfg, max_steps_per_epoch=args.max_steps_per_epoch)
