@@ -69,6 +69,63 @@ def test_jpeg_clips_fixture_matches_batch_spec():
         np.testing.assert_array_equal(a0["boxes"], b0["boxes"])
 
 
+def test_supervisor_wedged_child_emits_stale_fallback(monkeypatch, tmp_path,
+                                                      capfd):
+    """A child that never prints (the wedged-tunnel hang blocks inside C
+    code, so only a separate supervising process can act) must yield rc=0
+    and the last-good measurement explicitly labeled stale."""
+    import sys
+
+    import bench
+
+    monkeypatch.setattr(bench, "_LAST_GOOD_PATH",
+                        str(tmp_path / "last_good.json"))
+    with open(bench._LAST_GOOD_PATH, "w") as f:
+        json.dump({"metric": "m", "value": 5.5,
+                   "measured_at_commit": "abc1234"}, f)
+    rc = bench._supervise(
+        child_cmd=[sys.executable, "-c", "import time; time.sleep(60)"],
+        deadline_s=1.5)
+    assert rc == 0
+    last = capfd.readouterr().out.strip().splitlines()[-1]
+    obj = json.loads(last)
+    assert obj["value"] == 5.5 and obj["stale"] is True
+    assert "stale_reason" in obj and obj["measured_at_commit"] == "abc1234"
+
+
+def test_supervisor_healthy_child_records_last_good(monkeypatch, tmp_path,
+                                                    capfd):
+    import sys
+
+    import bench
+
+    monkeypatch.setattr(bench, "_LAST_GOOD_PATH",
+                        str(tmp_path / "last_good.json"))
+    line = json.dumps({"metric": "m", "value": 7.25, "unit": "u"})
+    rc = bench._supervise(
+        child_cmd=[sys.executable, "-c", f"print({line!r})"],
+        deadline_s=30.0)
+    assert rc == 0
+    out_last = capfd.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(out_last)["value"] == 7.25      # forwarded, not stale
+    with open(bench._LAST_GOOD_PATH) as f:
+        rec = json.load(f)
+    assert rec["value"] == 7.25 and "measured_at" in rec
+
+
+def test_supervisor_wedged_child_no_last_good_fails(monkeypatch, tmp_path):
+    import sys
+
+    import bench
+
+    monkeypatch.setattr(bench, "_LAST_GOOD_PATH",
+                        str(tmp_path / "absent.json"))
+    rc = bench._supervise(
+        child_cmd=[sys.executable, "-c", "import time; time.sleep(60)"],
+        deadline_s=1.5)
+    assert rc != 0
+
+
 def test_flops_cache_hit_miss_and_invalidation(monkeypatch, tmp_path):
     """bench_flops_cache.json: a fingerprint-matching entry returns
     instantly (no compute, no budget draw); a config change invalidates;
