@@ -155,6 +155,11 @@ class Config:
     # remat that bs8 in one step cannot fit (PERF.md bs8 negative result).
     # batch_size must be divisible by it.
     grad_accum_steps: int = 1
+    # ZeRO-1 optimizer-state sharding: shard the Adam moments (2x param
+    # bytes when replicated) over the 'data' mesh axis — exact semantics,
+    # per-chip optimizer memory drops to 2x/n_data
+    # (parallel/mesh.py opt_state_sharding).  No-op on a single device.
+    shard_opt_state: bool = False
     prefetch_depth: int = 2              # host->device pipeline depth
     roi_align_impl: str = "auto"         # auto|onehot|gather|pallas
     frame_chunk: Optional[int] = None    # frames per backbone micro-batch

@@ -79,6 +79,39 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def opt_state_sharding(mesh: Mesh, opt_state, axis: str = "data"):
+    """ZeRO-1 layout for the optimizer state (cfg.shard_opt_state).
+
+    Replicated Adam moments cost 2x param bytes on EVERY chip — for a
+    framework whose flagship recipe is HBM-bound (remat + frame chunking
+    exist purely to fit memory, PERF.md) that is the cheapest memory to
+    reclaim when scaling out.  Each array leaf is sharded over the
+    ``axis`` mesh axis along its largest divisible dimension; scalars
+    (step count, injected learning_rate) and indivisible leaves stay
+    replicated.  Exact by construction: the Adam moment update is
+    elementwise, so this is a pure layout annotation — the SPMD
+    partitioner computes each moment shard from the (already all-reduced)
+    gradient shard and only the param-sized update re-materialises
+    replicated, which is the ZeRO-1 recipe (arXiv:1910.02054) expressed
+    as shardings instead of hand-written reduce-scatter/all-gather.
+    Per-chip optimizer memory: 2x params -> 2x/n.  Equivalence + layout
+    asserted in tests/test_parallel.py."""
+    n = mesh.shape[axis]
+
+    def leaf_sharding(leaf):
+        shape = getattr(leaf, "shape", ())
+        if n > 1 and shape:
+            divisible = [(d, i) for i, d in enumerate(shape) if d % n == 0]
+            if divisible:
+                _, i = max(divisible)
+                spec = [None] * len(shape)
+                spec[i] = axis
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(leaf_sharding, opt_state)
+
+
 def param_sharding(mesh: Mesh, params):
     """Tensor-parallel layout over the 'model' axis: 2-D+ kernels whose
     last (output-feature) dim divides the axis are sharded there, everything

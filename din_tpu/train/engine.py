@@ -73,11 +73,16 @@ def _combine_micro_metrics(stacked: Dict) -> Dict:
 
 
 def make_train_step(model, cfg, tx, frame0_labels: bool, has_bn: bool,
-                    donate: bool = True):
+                    donate: bool = True, opt_sharding=None):
+    """opt_sharding: optional pytree of NamedShardings matching opt_state
+    (parallel/mesh.py opt_state_sharding).  Constraining the UPDATED
+    opt_state keeps the Adam moments sharded across steps — without it the
+    partitioner is free to re-replicate them and the ZeRO-1 memory saving
+    silently evaporates after step 1."""
     accum = max(int(getattr(cfg, "grad_accum_steps", 1) or 1), 1)
     if accum > 1:
         return _make_accum_train_step(model, cfg, tx, frame0_labels, has_bn,
-                                      donate, accum)
+                                      donate, accum, opt_sharding)
 
     def step(state: TrainState, batch: Dict):
         rng, new_rng = jax.random.split(state.rng)
@@ -103,6 +108,9 @@ def make_train_step(model, cfg, tx, frame0_labels: bool, has_bn: bool,
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, new_stats)), grads = grad_fn(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if opt_sharding is not None:
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state, opt_sharding)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, batch_stats=new_stats,
                                opt_state=opt_state, rng=new_rng)
@@ -112,7 +120,7 @@ def make_train_step(model, cfg, tx, frame0_labels: bool, has_bn: bool,
 
 
 def _make_accum_train_step(model, cfg, tx, frame0_labels: bool, has_bn: bool,
-                           donate: bool, accum: int):
+                           donate: bool, accum: int, opt_sharding=None):
     """cfg.grad_accum_steps > 1: lax.scan over equal micro-batches, ONE
     optimizer update on the averaged grads.  Exact large-batch gradient
     semantics at micro-batch memory (up to masked-loss sample weighting:
@@ -169,6 +177,9 @@ def _make_accum_train_step(model, cfg, tx, frame0_labels: bool, has_bn: bool,
         grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
         metrics = _combine_micro_metrics(stacked)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if opt_sharding is not None:
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state, opt_sharding)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, batch_stats=new_stats,
                                opt_state=opt_state, rng=new_rng)
@@ -421,10 +432,24 @@ def _train_net(cfg, max_steps_per_epoch: Optional[int], mesh):
                        opt_state=opt_state, rng=rng)
     state = jax.device_put(state, rep_sharding)
 
+    opt_shardings = None
+    if getattr(cfg, "shard_opt_state", False) and mesh.shape["data"] > 1:
+        # ZeRO-1: Adam moments sharded over 'data' (exact semantics —
+        # parallel/mesh.py opt_state_sharding); per-chip optimizer memory
+        # 2x params -> 2x/n_data
+        from din_tpu.parallel.mesh import opt_state_sharding
+        opt_shardings = opt_state_sharding(mesh, state.opt_state)
+        state = state.replace(
+            opt_state=jax.device_put(state.opt_state, opt_shardings))
+        print_log(cfg.log_path,
+                  "ZeRO-1: optimizer state sharded over data axis (%d)"
+                  % mesh.shape["data"])
+
     has_bn = bool(variables.get("batch_stats"))
     frame0 = cfg.training_stage == 2
     train_step = make_train_step(model, cfg, tx, frame0, has_bn,
-                                 donate=cfg.donate_step_buffers)
+                                 donate=cfg.donate_step_buffers,
+                                 opt_sharding=opt_shardings)
     eval_step = make_eval_step(model, cfg, frame0)
 
     mad_step = None

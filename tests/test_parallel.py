@@ -349,3 +349,63 @@ def test_shard_local_chunk_packing_matches_and_removes_repacking():
                     jax.tree_util.tree_leaves(new_s.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=5e-4)
+
+
+def test_zero1_opt_state_sharding_matches_replicated():
+    """cfg.shard_opt_state (ZeRO-1): Adam moments sharded over 'data' must
+    (a) produce the same two-step trajectory as replicated opt state,
+    (b) actually shard the moment arrays (per-chip shard < full leaf), and
+    (c) STAY sharded across steps (the with_sharding_constraint in
+    make_train_step — without it the partitioner may re-replicate)."""
+    from din_tpu.parallel.mesh import opt_state_sharding
+    from din_tpu.train.optim import set_learning_rate
+
+    cfg, model, state, step, batch = _setup()
+    mesh = make_mesh(cfg)
+    rep = replicated_sharding(mesh)
+    batch_s = jax.device_put(batch, batch_sharding(mesh))
+
+    # baseline: replicated opt state, two steps
+    new_r = jax.device_put(state, rep)
+    with jax.set_mesh(mesh):
+        new_r, m_r1 = step(new_r, batch_s)
+        new_r, m_r2 = step(new_r, batch_s)
+
+    # ZeRO-1: moments sharded over 'data', output constrained to stay so
+    opt_sh = opt_state_sharding(mesh, state.opt_state)
+    specs = [str(s.spec) for s in jax.tree_util.tree_leaves(opt_sh)]
+    assert any("data" in sp for sp in specs), specs
+    tx = make_optimizer(cfg, state.params)
+    step_z = make_train_step(model, cfg, tx, frame0_labels=True, has_bn=True,
+                             donate=False, opt_sharding=opt_sh)
+    state_z = TrainState(params=jax.device_put(state.params, rep),
+                         batch_stats=jax.device_put(state.batch_stats, rep),
+                         opt_state=jax.device_put(state.opt_state, opt_sh),
+                         rng=jax.device_put(state.rng, rep))
+    with jax.set_mesh(mesh):
+        state_z, m_z1 = step_z(state_z, batch_s)
+        # epoch-boundary lr rewrite must not disturb the moment layout
+        state_z = state_z.replace(
+            opt_state=set_learning_rate(state_z.opt_state,
+                                        cfg.train_learning_rate))
+        state_z, m_z2 = step_z(state_z, batch_s)
+
+    np.testing.assert_allclose(float(m_r1["loss"]), float(m_z1["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m_r2["loss"]), float(m_z2["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(new_r.params),
+                    jax.tree_util.tree_leaves(state_z.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=5e-4)
+
+    # moments are sharded AFTER two steps: some leaf's addressable shard
+    # holds 1/8 of the elements
+    sharded = [l for l in jax.tree_util.tree_leaves(state_z.opt_state)
+               if hasattr(l, "sharding") and l.ndim
+               and not l.sharding.is_fully_replicated]
+    assert sharded, "no opt-state leaf stayed sharded after two steps"
+    leaf = max(sharded, key=lambda l: l.size)
+    shard_elems = np.prod(leaf.addressable_shards[0].data.shape)
+    assert shard_elems * mesh.shape["data"] == leaf.size, \
+        (leaf.shape, leaf.addressable_shards[0].data.shape)

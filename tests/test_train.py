@@ -274,3 +274,24 @@ def test_eval_only_scores_checkpoint_without_training(tmp_path):
     files = os.listdir(cfg2.result_path)
     assert not any(f.endswith(".ckpt") for f in files)
     assert "log.txt" in files
+
+
+def test_engine_zero1_shard_opt_state(tmp_path):
+    """cfg.shard_opt_state through the FULL engine: train + eval + the
+    checkpoint writer must handle sharded Adam moments (np.asarray gathers
+    a fully-addressable sharded array), and resume must reload them."""
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs a multi-device mesh")
+    cfg = _smoke_cfg(tmp_path, exp_note="smoke_zero", shard_opt_state=True)
+    best = train_net(cfg, max_steps_per_epoch=2)
+    assert "activities_acc" in best
+    files = os.listdir(cfg.result_path)
+    ckpts = [f for f in files if f.endswith(".ckpt")]
+    assert ckpts
+    # resume from the sharded-state checkpoint (full stage-2 state)
+    cfg2 = _smoke_cfg(tmp_path, exp_note="smoke_zero_resume", max_epoch=2,
+                      shard_opt_state=True, load_stage2model=True,
+                      stage2model=os.path.join(cfg.result_path, ckpts[-1]))
+    best2 = train_net(cfg2, max_steps_per_epoch=2)
+    assert "activities_acc" in best2
