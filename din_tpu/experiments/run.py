@@ -59,6 +59,10 @@ def main(argv=None):
     parser.add_argument("--pretrained-backbone-path", default=None,
                         help="torchvision state_dict file for ImageNet "
                              "backbone init (stage 1; nn/torch_port.py)")
+    parser.add_argument("--shard-opt-state", action="store_true",
+                        help="ZeRO-1: shard Adam moments over the 'data' "
+                             "mesh axis (exact; per-chip optimizer memory "
+                             "/ n_data; parallel/mesh.py)")
     args = parser.parse_args(argv)
 
     cfg = PRESETS[args.preset]()
@@ -97,6 +101,8 @@ def main(argv=None):
         overrides["eval_only"] = True
     if args.pretrained_backbone_path:
         overrides["pretrained_backbone_path"] = args.pretrained_backbone_path
+    if args.shard_opt_state:
+        overrides["shard_opt_state"] = True
     if overrides:
         cfg = cfg.replace(**overrides)
     best = train_net(cfg, max_steps_per_epoch=args.max_steps_per_epoch)
