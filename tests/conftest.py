@@ -25,8 +25,17 @@ if os.environ.get("DIN_TPU_TESTS_ON_DEVICE") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8").strip()
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # 8 virtual devices time-share ONE host core here, so an in-process
+    # all-reduce rendezvous can legitimately take minutes on the heaviest
+    # programs; XLA:CPU's stuck-collective watchdog would SIGABRT the whole
+    # pytest process (xla::internal::AwaitAndLogIfStuck ->
+    # InProcessCommunicator::AllReduce CHECK failure).  Widen it.
+    if "collective_call_terminate_timeout" not in flags:
+        flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+                  " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+                  " --xla_cpu_collective_timeout_seconds=1200")
+    os.environ["XLA_FLAGS"] = flags
 
 
 def pytest_configure(config):
