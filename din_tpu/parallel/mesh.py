@@ -79,7 +79,8 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def opt_state_sharding(mesh: Mesh, opt_state, axis: str = "data"):
+def opt_state_sharding(mesh: Mesh, opt_state, axis: str = "data",
+                       align_model: bool = False):
     """ZeRO-1 layout for the optimizer state (cfg.shard_opt_state).
 
     Replicated Adam moments cost 2x param bytes on EVERY chip — for a
@@ -95,19 +96,27 @@ def opt_state_sharding(mesh: Mesh, opt_state, axis: str = "data"):
     replicated, which is the ZeRO-1 recipe (arXiv:1910.02054) expressed
     as shardings instead of hand-written reduce-scatter/all-gather.
     Per-chip optimizer memory: 2x params -> 2x/n.  Equivalence + layout
-    asserted in tests/test_parallel.py."""
+    asserted in tests/test_parallel.py.
+
+    ``align_model=True`` (tensor-parallel runs): the last dim of each 2-D+
+    leaf is pinned to 'model' first, mirroring ``param_sharding``, so
+    model-sharded grads produce moment shards without any resharding; the
+    ZeRO ``axis`` then takes the largest remaining divisible dim."""
     n = mesh.shape[axis]
+    n_model = mesh.shape["model"] if align_model else 1
 
     def leaf_sharding(leaf):
         shape = getattr(leaf, "shape", ())
+        spec = [None] * len(shape)
+        if n_model > 1 and len(shape) >= 2 and shape[-1] % n_model == 0:
+            spec[-1] = "model"                  # mirror param_sharding
         if n > 1 and shape:
-            divisible = [(d, i) for i, d in enumerate(shape) if d % n == 0]
+            divisible = [(d, i) for i, d in enumerate(shape)
+                         if d % n == 0 and spec[i] is None]
             if divisible:
                 _, i = max(divisible)
-                spec = [None] * len(shape)
                 spec[i] = axis
-                return NamedSharding(mesh, P(*spec))
-        return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(*spec))
 
     return jax.tree_util.tree_map(leaf_sharding, opt_state)
 

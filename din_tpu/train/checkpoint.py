@@ -11,7 +11,10 @@ Here checkpoints are msgpack-serialised pytrees (flax.serialization) by
 default; ``backend="orbax"`` (cfg.checkpoint_backend) writes an orbax
 directory instead — multi-host-safe sharded saves for pod training, where
 every process must participate in the write (the reference is single-host
-torch.save).  ``load_checkpoint`` auto-detects the format (orbax
+torch.save).  On a multi-process mesh the msgpack backend gathers
+non-addressable leaves (ZeRO-sharded Adam moments, cfg.shard_opt_state)
+collectively and writes from process 0 only — it assumes a SHARED result
+dir if other processes later restore; prefer orbax on pods.  ``load_checkpoint`` auto-detects the format (orbax
 checkpoints are directories).  The reference saves optimizer state but
 never restores it and hardcodes start_epoch=1 (train_net.py:99,121-125) —
 fixed by intent: ``load_state`` restores epoch and optimizer too.
@@ -30,7 +33,17 @@ from din_tpu.nn.torch_port import graft_variables
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(np.asarray, tree)
+    def to_np(x):
+        # On a multi-process mesh, data-sharded leaves (ZeRO-1 Adam moments
+        # under cfg.shard_opt_state) are not fully addressable and
+        # np.asarray would raise; gather them across processes first so the
+        # msgpack backend stays usable there (orbax writes them distributed
+        # and needs no gather).
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            x = multihost_utils.process_allgather(x, tiled=True)
+        return np.asarray(x)
+    return jax.tree_util.tree_map(to_np, tree)
 
 
 def save_checkpoint(path: str, payload: Dict[str, Any],
@@ -58,7 +71,13 @@ def save_checkpoint(path: str, payload: Dict[str, Any],
                    jax.tree_util.tree_map(orbax_safe, payload), force=True)
         ckptr.wait_until_finished()
         return
-    data = serialization.msgpack_serialize(_to_host(payload))
+    # _to_host may run cross-process gathers — EVERY process must reach it
+    # (the engine calls save on all processes); only process 0 touches the
+    # filesystem so a shared result dir sees exactly one writer.
+    host_payload = _to_host(payload)
+    if jax.process_index() != 0:
+        return
+    data = serialization.msgpack_serialize(host_payload)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)

@@ -90,8 +90,39 @@ def _worker(coordinator, n_proc, pid):
         loss = float(metrics["loss"])       # replicated -> readable
         checksum = sum(float(jnp.mean(jnp.abs(l)))
                        for l in jax.tree_util.tree_leaves(new_state.params))
+
+        # cfg.shard_opt_state save path (ADVICE r4): ZeRO-sharded Adam
+        # moments are NOT fully addressable on a 2-process mesh — the
+        # msgpack backend must gather them (checkpoint._to_host) with every
+        # process participating, and only process 0 writes the file.
+        opt_ckpt = os.environ.get("DIN_TEST_OPT_CKPT", "")
+        opt_save_ok = None
+        if opt_ckpt:
+            import flax
+
+            from din_tpu.parallel.mesh import opt_state_sharding
+            from din_tpu.train.checkpoint import (load_checkpoint,
+                                                  save_checkpoint)
+            opt_sh = opt_state_sharding(mesh, new_state.opt_state)
+            opt_sharded = jax.device_put(new_state.opt_state, opt_sh)
+            leaves = jax.tree_util.tree_leaves(opt_sharded)
+            assert any(isinstance(l, jax.Array) and not l.is_fully_addressable
+                       for l in leaves) == (info["process_count"] > 1), \
+                "expected cross-process shards on a multi-process mesh"
+            save_checkpoint(opt_ckpt, {
+                "opt_state": flax.serialization.to_state_dict(opt_sharded)})
+            opt_save_ok = True
+            if pid == 0:
+                want = jax.tree_util.tree_leaves(
+                    flax.serialization.to_state_dict(new_state.opt_state))
+                got = jax.tree_util.tree_leaves(load_checkpoint(opt_ckpt))
+                assert len(want) == len(got)
+                for w, g in zip(want, got):
+                    np.testing.assert_array_equal(np.asarray(w),
+                                                  np.asarray(g))
     print("MPRESULT " + json.dumps({
         "pid": pid, "loss": loss, "checksum": checksum,
+        "opt_save_ok": opt_save_ok,
         "process_count": info["process_count"],
         "global_devices": info["global_devices"],
         "local_devices": info["local_devices"]}), flush=True)
@@ -105,11 +136,13 @@ def _free_port():
     return port
 
 
-def _launch(n_proc, local_devices):
+def _launch(n_proc, local_devices, opt_ckpt=""):
     env = dict(os.environ)
     env.update(PYTHONPATH=_REPO, JAX_PLATFORMS="cpu",
                XLA_FLAGS=f"--xla_force_host_platform_device_count"
                          f"={local_devices}")
+    if opt_ckpt:
+        env["DIN_TEST_OPT_CKPT"] = opt_ckpt
     coord = f"localhost:{_free_port()}"
     procs = [subprocess.Popen(
         [sys.executable, _THIS, coord, str(n_proc), str(pid)],
@@ -132,10 +165,13 @@ def _launch(n_proc, local_devices):
     return results
 
 
-def test_two_process_step_matches_single_process():
-    two = _launch(n_proc=2, local_devices=2)
+def test_two_process_step_matches_single_process(tmp_path):
+    two = _launch(n_proc=2, local_devices=2,
+                  opt_ckpt=str(tmp_path / "opt_sharded.ckpt"))
     assert all(r["process_count"] == 2 and r["global_devices"] == 4
                and r["local_devices"] == 2 for r in two), two
+    assert all(r["opt_save_ok"] for r in two), two
+    assert os.path.exists(tmp_path / "opt_sharded.ckpt")
     # both hosts observe the same replicated scalars
     assert abs(two[0]["loss"] - two[1]["loss"]) <= 1e-6 * abs(two[0]["loss"])
     assert abs(two[0]["checksum"] - two[1]["checksum"]) <= \

@@ -409,3 +409,39 @@ def test_zero1_opt_state_sharding_matches_replicated():
     shard_elems = np.prod(leaf.addressable_shards[0].data.shape)
     assert shard_elems * mesh.shape["data"] == leaf.size, \
         (leaf.shape, leaf.addressable_shards[0].data.shape)
+
+
+def test_opt_state_sharding_align_model_mirrors_param_layout():
+    """opt_state_sharding(align_model=True) (ADVICE r4 #2): on a
+    tensor-parallel mesh the Adam-moment layout must mirror param_sharding
+    — last dim of every 2-D+ divisible leaf on 'model' (so model-sharded
+    grads update moments without resharding), ZeRO 'data' sharding only on
+    some OTHER dim, scalars replicated."""
+    from din_tpu.parallel.mesh import opt_state_sharding, param_sharding
+
+    cfg = Config("volleyball").replace(mesh_shape={"data": 4, "model": 2})
+    mesh = make_mesh(cfg)
+    fake_moments = {
+        "kernel": np.zeros((3, 3, 64, 128), np.float32),    # both axes
+        "dense": np.zeros((256, 512), np.float32),
+        "bias": np.zeros((128,), np.float32),               # data only
+        "odd": np.zeros((7, 9), np.float32),                # neither
+        "count": np.zeros((), np.int32),
+    }
+    opt_sh = opt_state_sharding(mesh, fake_moments, align_model=True)
+    p_sh = param_sharding(mesh, fake_moments)
+    for name in ("kernel", "dense"):
+        assert opt_sh[name].spec[-1] == "model", (name, opt_sh[name].spec)
+        # mirrors param_sharding on the model axis
+        assert p_sh[name].spec[-1] == "model"
+        assert "data" in [a for a in opt_sh[name].spec[:-1] if a], \
+            (name, opt_sh[name].spec)
+    assert "model" not in tuple(opt_sh["bias"].spec) and \
+        "data" in tuple(opt_sh["bias"].spec), opt_sh["bias"].spec
+    assert opt_sh["odd"].is_fully_replicated, opt_sh["odd"].spec
+    assert opt_sh["count"].is_fully_replicated
+
+    # default (engine path, replicated params) is unchanged: no 'model' axis
+    opt_dp = opt_state_sharding(mesh, fake_moments)
+    assert all("model" not in tuple(s.spec)
+               for s in jax.tree_util.tree_leaves(opt_dp))
