@@ -729,10 +729,19 @@ def _inference_bench(cfg):
     for _ in range(2):
         pred(images, boxes)
     iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pred(images, boxes)
-    dt = (time.perf_counter() - t0) / iters
+
+    def timed_median(fn):
+        # median of per-call times: a single multi-second tunnel stall
+        # inside the block must not poison the reported rate (observed:
+        # a 26 s outlier turned 19.7 clips/s into "0.305")
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = fn()
+            times.append(time.perf_counter() - t0)
+        return sorted(times)[len(times) // 2], out
+
+    dt, out = timed_median(lambda: pred(images, boxes))
     assert "activities" in out
     _log({"metric": "infer_clips_per_sec_flagship",
           "value": round(cfg.batch_size / dt, 3),
@@ -748,10 +757,7 @@ def _inference_bench(cfg):
     pred(bimages, bboxes)                        # compile
     for _ in range(2):
         pred(bimages, bboxes)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        pred(bimages, bboxes)
-    bdt = (time.perf_counter() - t0) / iters
+    bdt, _out = timed_median(lambda: pred(bimages, bboxes))
     _log({"metric": "infer_clips_per_sec_flagship_bs%d" % big,
           "value": round(big / bdt, 3),
           "unit": "clips/sec/chip (fwd-only, bs%d)" % big,
