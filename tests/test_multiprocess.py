@@ -112,14 +112,36 @@ def _worker(coordinator, n_proc, pid):
             save_checkpoint(opt_ckpt, {
                 "opt_state": flax.serialization.to_state_dict(opt_sharded)})
             opt_save_ok = True
+            want = jax.tree_util.tree_leaves(
+                flax.serialization.to_state_dict(new_state.opt_state))
             if pid == 0:
-                want = jax.tree_util.tree_leaves(
-                    flax.serialization.to_state_dict(new_state.opt_state))
                 got = jax.tree_util.tree_leaves(load_checkpoint(opt_ckpt))
                 assert len(want) == len(got)
                 for w, g in zip(want, got):
                     np.testing.assert_array_equal(np.asarray(w),
                                                   np.asarray(g))
+
+            # orbax backend (the pod-preferred path, checkpoint.py
+            # docstring): every process participates in a DISTRIBUTED
+            # write of the same sharded tree — no gather, shards stream
+            # from their owning process.  Restore is collective too in a
+            # multi-process runtime (single-process restore deadlocks on
+            # the orbax barriers), so every process restores and checks.
+            save_checkpoint(opt_ckpt + ".orbax", {
+                "opt_state": flax.serialization.to_state_dict(opt_sharded)},
+                backend="orbax")
+            got = jax.tree_util.tree_leaves(
+                load_checkpoint(opt_ckpt + ".orbax"))
+            assert len(want) == len(got)
+            for w, g in zip(want, got):
+                w = np.asarray(w)
+                if isinstance(g, jax.Array) and not g.is_fully_addressable:
+                    # restored sharded-as-saved: check the local shards
+                    for shard in g.addressable_shards:
+                        np.testing.assert_array_equal(
+                            w[shard.index], np.asarray(shard.data))
+                else:
+                    np.testing.assert_array_equal(w, np.asarray(g))
     print("MPRESULT " + json.dumps({
         "pid": pid, "loss": loss, "checksum": checksum,
         "opt_save_ok": opt_save_ok,
