@@ -12,9 +12,11 @@ default; ``backend="orbax"`` (cfg.checkpoint_backend) writes an orbax
 directory instead — multi-host-safe sharded saves for pod training, where
 every process must participate in the write (the reference is single-host
 torch.save).  On a multi-process mesh the msgpack backend gathers
-non-addressable leaves (ZeRO-sharded Adam moments, cfg.shard_opt_state)
-collectively and writes from process 0 only — it assumes a SHARED result
-dir if other processes later restore; prefer orbax on pods.  ``load_checkpoint`` auto-detects the format (orbax
+cross-process-sharded leaves (ZeRO-sharded Adam moments,
+cfg.shard_opt_state) collectively — every process must call save — and
+every process then writes its own result dir (identical bytes; safe for
+both shared and per-host dirs); prefer orbax on pods for distributed
+writes.  ``load_checkpoint`` auto-detects the format (orbax
 checkpoints are directories).  The reference saves optimizer state but
 never restores it and hardcodes start_epoch=1 (train_net.py:99,121-125) —
 fixed by intent: ``load_state`` restores epoch and optimizer too.
@@ -38,8 +40,12 @@ def _to_host(tree):
         # under cfg.shard_opt_state) are not fully addressable and
         # np.asarray would raise; gather them across processes first so the
         # msgpack backend stays usable there (orbax writes them distributed
-        # and needs no gather).
-        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        # and needs no gather).  Fully-REPLICATED leaves (params,
+        # batch_stats, rng on a pod) are also not fully addressable, but
+        # np.asarray reads them from the local replica — gathering those
+        # would turn a host-local copy into one collective per param leaf.
+        if isinstance(x, jax.Array) and not x.is_fully_addressable \
+                and not x.is_fully_replicated:
             from jax.experimental import multihost_utils
             x = multihost_utils.process_allgather(x, tiled=True)
         return np.asarray(x)
@@ -72,13 +78,15 @@ def save_checkpoint(path: str, payload: Dict[str, Any],
         ckptr.wait_until_finished()
         return
     # _to_host may run cross-process gathers — EVERY process must reach it
-    # (the engine calls save on all processes); only process 0 touches the
-    # filesystem so a shared result dir sees exactly one writer.
-    host_payload = _to_host(payload)
-    if jax.process_index() != 0:
-        return
-    data = serialization.msgpack_serialize(host_payload)
-    tmp = path + ".tmp"
+    # (the engine calls save on all processes).  Every process then writes
+    # its own copy: identical bytes, so on a shared result dir the atomic
+    # os.replace makes the last writer win harmlessly, and on per-host
+    # result dirs every host still has a checkpoint for auto_resume (a
+    # process-0-only write would desync resume across hosts).  The tmp
+    # name is process-suffixed so concurrent writers on a shared dir never
+    # interleave within one file.
+    data = serialization.msgpack_serialize(_to_host(payload))
+    tmp = f"{path}.tmp.{jax.process_index()}"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)

@@ -30,12 +30,12 @@ if os.environ.get("DIN_TPU_TESTS_ON_DEVICE") != "1":
     # all-reduce rendezvous can legitimately take minutes on the heaviest
     # programs; XLA:CPU's stuck-collective watchdog would SIGABRT the whole
     # pytest process (xla::internal::AwaitAndLogIfStuck ->
-    # InProcessCommunicator::AllReduce CHECK failure).  Widen it.
-    if "collective_call_terminate_timeout" not in flags:
-        flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
-                  " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
-                  " --xla_cpu_collective_timeout_seconds=1200")
+    # InProcessCommunicator::AllReduce CHECK failure).  Widen it (one
+    # shared implementation with the driver entry).
     os.environ["XLA_FLAGS"] = flags
+    sys.path.insert(0, _REPO)
+    from __graft_entry__ import _widen_cpu_collective_watchdog
+    _widen_cpu_collective_watchdog()
 
 
 def pytest_configure(config):

@@ -94,7 +94,7 @@ def _worker(coordinator, n_proc, pid):
         # cfg.shard_opt_state save path (ADVICE r4): ZeRO-sharded Adam
         # moments are NOT fully addressable on a 2-process mesh — the
         # msgpack backend must gather them (checkpoint._to_host) with every
-        # process participating, and only process 0 writes the file.
+        # process participating; every process writes identical bytes.
         opt_ckpt = os.environ.get("DIN_TEST_OPT_CKPT", "")
         opt_save_ok = None
         if opt_ckpt:
@@ -159,10 +159,17 @@ def _free_port():
 
 
 def _launch(n_proc, local_devices, opt_ckpt=""):
+    sys.path.insert(0, _REPO)
+    from __graft_entry__ import _widen_cpu_collective_watchdog
+
     env = dict(os.environ)
     env.update(PYTHONPATH=_REPO, JAX_PLATFORMS="cpu",
                XLA_FLAGS=f"--xla_force_host_platform_device_count"
                          f"={local_devices}")
+    # workers run cross-process collectives + orbax barriers on virtual
+    # devices sharing one core — widen the stuck-collective watchdog there
+    # too (same root cause as conftest.py)
+    _widen_cpu_collective_watchdog(env)
     if opt_ckpt:
         env["DIN_TEST_OPT_CKPT"] = opt_ckpt
     coord = f"localhost:{_free_port()}"
