@@ -333,19 +333,7 @@ def _chunk_correction(cfg):
 
 def _step_flops(cfg, step, state, dbatch):
     """Corrected compiled-HLO flops of the step (scan body x trip count)."""
-    from din_tpu.models.trunk import Trunk
-
-    flops = _compiled_flops(step, state, dbatch)
-    n_frames = cfg.batch_size * cfg.num_frames
-    chunk = Trunk(backbone=cfg.backbone, out_size=tuple(cfg.out_size),
-                  crop_size=tuple(cfg.crop_size),
-                  train_backbone=cfg.train_backbone,
-                  frame_chunk=cfg.frame_chunk)._auto_chunk(
-        n_frames, *cfg.image_size)
-    num_chunks = n_frames // chunk
-    if num_chunks > 1 and cfg.train_backbone:
-        flops += (num_chunks - 1) * _backbone_body_flops(cfg, chunk)
-    return flops
+    return _compiled_flops(step, state, dbatch) + _chunk_correction(cfg)
 
 
 def _bench_train_step(cfg, warmup=3, iters=10):
@@ -514,28 +502,12 @@ def _loader_in_loop(cfg, device_resident_clips):
     import shutil
     import tempfile
 
-    import jax
-
-    from __graft_entry__ import _make_batch
     from din_tpu.data.loader import BatchLoader, prefetch_to_device
-    from din_tpu.models.registry import build_model
-    from din_tpu.train.engine import TrainState, init_model, make_train_step
-    from din_tpu.train.optim import make_optimizer
 
     tmpdir = tempfile.mkdtemp(prefix="din_bench_jpeg_")
     try:
         ds = _JpegClips(tmpdir, cfg, n_clips=8 * cfg.batch_size)
-        model = build_model(cfg)
-        batch = _make_batch(cfg, batch_size=cfg.batch_size)
-        variables = init_model(cfg, model, batch)
-        tx = make_optimizer(cfg, variables["params"])
-        state = TrainState(params=variables["params"],
-                           batch_stats=variables.get("batch_stats", {}),
-                           opt_state=tx.init(variables["params"]),
-                           rng=jax.random.PRNGKey(0))
-        step = make_train_step(model, cfg, tx, frame0_labels=True,
-                               has_bn=bool(variables.get("batch_stats")),
-                               donate=False)
+        step, state, _batch = _build_step(cfg)    # one shared construction
         workers = max(4, min(8, os.cpu_count() or 4))
         loader = BatchLoader(ds, cfg.batch_size, shuffle=True,
                              num_workers=workers)
@@ -937,6 +909,10 @@ def _supervise(child_cmd=None, deadline_s=None) -> int:
               "had_primary": bool(last_primary)})
         proc.kill()
         proc.wait()
+        # drain the pump BEFORE any fallback print: a late child line after
+        # the stale-labeled line would become the driver's "last stdout
+        # line" (its parse contract) — the join orders the output
+        t.join(timeout=30)
         rc = 0 if last_primary else 1
     if last_primary and last_primary[-1].get("value") is not None \
             and not last_primary[-1].get("stale"):

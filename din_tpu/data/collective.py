@@ -11,6 +11,7 @@ with zeros / actions with -1 up to MAX_N and returns the true count.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import random
 from collections import Counter
@@ -46,7 +47,12 @@ def collective_read_annotations(path: str, sid: int) -> Dict[int, dict]:
             return
         if frame_id % 10 == 1 and frame_id + 9 <= FRAMES_NUM[sid]:
             counter = Counter(actions).most_common(2)
-            # majority vote excluding NA (collective.py:50-52)
+            # majority vote excluding NA (collective.py:50-52); a frame
+            # where EVERY action is NA has no majority to vote on — skip
+            # it instead of indexing past most_common (real CAD sequences
+            # never produce this; malformed data should not crash parsing)
+            if counter[0][0] == 0 and len(counter) == 1:
+                return
             group = counter[0][0] - 1 if counter[0][0] != 0 \
                 else counter[1][0] - 1
             annotations[frame_id] = {
@@ -94,17 +100,32 @@ class CollectiveDataset:
         self.num_frames = num_frames
         self.is_training = is_training
         self.is_finetune = is_finetune
-        self.rng = random.Random(seed)
+        self.rng = random.Random(seed)      # direct-call fallback only
+        self.seed = seed
+        self.epoch = 0
         self.cache = cache          # din_tpu/data/cache.py FrameCache | None
         self.hflip_prob = hflip_prob if is_training else 0.0
 
     def __len__(self):
         return len(self.frames)
 
-    def sample_frames(self, frame):
+    def set_epoch(self, epoch: int) -> None:
+        """BatchLoader hook — see VolleyballDataset.set_epoch."""
+        self.epoch = int(epoch)
+
+    def _item_rng(self, index) -> random.Random:
+        # per-item generator: concurrent loader threads must not share a
+        # Random (draws would depend on thread interleaving; see
+        # VolleyballDataset._item_rng)
+        key = f"{self.seed}:{self.epoch}:{index}".encode()
+        return random.Random(int.from_bytes(
+            hashlib.blake2s(key, digest_size=8).digest(), "little"))
+
+    def sample_frames(self, frame, rng=None):
+        rng = self.rng if rng is None else rng
         sid, src_fid = frame
         if self.is_finetune and self.is_training:
-            fid = self.rng.randint(src_fid, src_fid + self.num_frames - 1)
+            fid = rng.randint(src_fid, src_fid + self.num_frames - 1)
             return [(sid, src_fid, fid)]
         return [(sid, src_fid, fid)
                 for fid in range(src_fid, src_fid + self.num_frames)]
@@ -122,7 +143,8 @@ class CollectiveDataset:
                                   self.image_size[1])
 
     def __getitem__(self, index):
-        select = self.sample_frames(self.frames[index])
+        rng = self._item_rng(index)
+        select = self.sample_frames(self.frames[index], rng)
         OH, OW = self.feature_size
         clip_images = self._load_clip_images(select)
         images, boxes, actions, activities, counts = [], [], [], [], []
@@ -132,8 +154,12 @@ class CollectiveDataset:
             frame_boxes = [(x1 * OW, y1 * OH, x2 * OW, y2 * OH)
                            for (y1, x1, y2, x2) in ann["bboxes"]]
             frame_actions = [ACTION6_TO_5[a] for a in ann["actions"]]
+            # truncate crowded frames first (a != comparison alone would
+            # append zero-boxes forever once len > num_boxes), then zero-pad
+            frame_boxes = frame_boxes[:self.num_boxes]
+            frame_actions = frame_actions[:self.num_boxes]
             counts.append(len(frame_boxes))
-            while len(frame_boxes) != self.num_boxes:
+            while len(frame_boxes) < self.num_boxes:
                 frame_boxes.append((0, 0, 0, 0))
                 frame_actions.append(-1)
             boxes.append(np.asarray(frame_boxes, np.float32))
@@ -142,7 +168,7 @@ class CollectiveDataset:
         images = np.stack(images)
         boxes = np.stack(boxes)
         counts = np.asarray(counts, np.int32)
-        if self.hflip_prob and self.rng.random() < self.hflip_prob:
+        if self.hflip_prob and rng.random() < self.hflip_prob:
             # beyond-reference augmentation (data/augment.py): CAD classes
             # carry no left/right semantics — mirror images + REAL boxes
             # only (zero-padded slots must stay zero)

@@ -90,6 +90,11 @@ class BatchLoader:
             np.random.RandomState(self.seed + self.epoch).shuffle(order)
         if self.process_count > 1:
             order = order[self.process_index::self.process_count]
+        if hasattr(self.dataset, "set_epoch"):
+            # pin the dataset's per-item draws (frame sampling, hflip) to
+            # this iteration's epoch: item content becomes a pure function
+            # of (seed, epoch, index) even with concurrent decode threads
+            self.dataset.set_epoch(self.epoch)
         self.epoch += 1
         nb = len(self)
         if self._skip:
@@ -143,12 +148,19 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
     sentinel = object()
 
     def producer():
-        for batch in iterator:
-            s = sharding(batch) if callable(sharding) else sharding
-            batch = jax.device_put(batch, s) if s is not None \
-                else jax.device_put(batch)
-            q.put(batch)
-        q.put(sentinel)
+        # ANY exception (corrupt JPEG in the wrapped iterator, device_put
+        # failure) must reach the consumer: a bare-dying producer thread
+        # would leave the training loop blocked on q.get() forever — a
+        # silent freeze indistinguishable from a device wedge.
+        try:
+            for batch in iterator:
+                s = sharding(batch) if callable(sharding) else sharding
+                batch = jax.device_put(batch, s) if s is not None \
+                    else jax.device_put(batch)
+                q.put(batch)
+            q.put(sentinel)
+        except BaseException as e:                  # noqa: BLE001
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -156,4 +168,6 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -14,6 +14,7 @@ on device — SURVEY.md §3.5) and actor padding by repetition
 
 from __future__ import annotations
 
+import hashlib
 import os
 import pickle
 import random
@@ -103,25 +104,43 @@ class VolleyballDataset:
         self.num_after = num_after
         self.is_training = is_training
         self.is_finetune = is_finetune
-        self.rng = random.Random(seed)
+        self.rng = random.Random(seed)      # direct-call fallback only
+        self.seed = seed
+        self.epoch = 0
         self.cache = cache          # din_tpu/data/cache.py FrameCache | None
         self.hflip_prob = hflip_prob if is_training else 0.0
 
     def __len__(self):
         return len(self.frames)
 
+    def set_epoch(self, epoch: int) -> None:
+        """BatchLoader hook: pins the draw epoch so item content is a pure
+        function of (seed, epoch, index) — see _item_rng."""
+        self.epoch = int(epoch)
+
+    def _item_rng(self, index) -> random.Random:
+        # per-item generator: BatchLoader decodes items from CONCURRENT
+        # worker threads, so drawing from one shared Random would make
+        # frame sampling/hflip depend on thread interleaving — breaking the
+        # (seed, epoch)-purity that exact mid-epoch resume relies on
+        # (loader.set_epoch contract, train/preempt.py)
+        key = f"{self.seed}:{self.epoch}:{index}".encode()
+        return random.Random(int.from_bytes(
+            hashlib.blake2s(key, digest_size=8).digest(), "little"))
+
     # frame-window sampling policies (volleyball.py:189-219)
-    def sample_frames(self, frame):
+    def sample_frames(self, frame, rng=None):
+        rng = self.rng if rng is None else rng
         sid, src_fid = frame
         lo, hi = src_fid - self.num_before, src_fid + self.num_after
         if self.is_finetune:
             if self.is_training:
-                fid = self.rng.randint(lo, hi)
+                fid = rng.randint(lo, hi)
                 return [(sid, src_fid, fid)]
             return [(sid, src_fid, fid) for fid in range(lo, hi + 1)]
         if self.inference_module_name == "arg_volleyball":
             if self.is_training:
-                fids = self.rng.sample(range(lo, hi + 1), 3)
+                fids = rng.sample(range(lo, hi + 1), 3)
                 return [(sid, src_fid, fid) for fid in fids]
             # fixed 9-frame ordering (volleyball.py:212-214)
             order = [src_fid - 3, src_fid, src_fid + 3,
@@ -142,7 +161,8 @@ class VolleyballDataset:
                                   self.image_size[1])
 
     def __getitem__(self, index):
-        select = self.sample_frames(self.frames[index])
+        rng = self._item_rng(index)
+        select = self.sample_frames(self.frames[index], rng)
         OH, OW = self.feature_size
         clip_images = self._load_clip_images(select)
         images, boxes, actions, activities = [], [], [], []
@@ -155,6 +175,12 @@ class VolleyballDataset:
             # pad-by-repetition to num_boxes (volleyball.py:258-260;
             # cycling generalises the reference's single-pass repeat to
             # frames missing more than half the roster)
+            if len(frame_boxes) == 0:
+                # repetition cannot grow an empty roster — without this
+                # check the while loop below would spin a worker forever
+                raise ValueError(
+                    f"frame (sid={sid}, src_fid={src_fid}, fid={fid}) has "
+                    f"no annotated boxes; cannot pad to {self.num_boxes}")
             while len(frame_boxes) < self.num_boxes:
                 need = self.num_boxes - len(frame_boxes)
                 frame_boxes = np.concatenate(
@@ -168,7 +194,7 @@ class VolleyballDataset:
         images = np.stack(images)                             # [T,H,W,3] u8
         boxes = np.stack(boxes)                               # [T,N,4] f32
         activities = np.asarray(activities, np.int32)         # [T]
-        if self.hflip_prob and self.rng.random() < self.hflip_prob:
+        if self.hflip_prob and rng.random() < self.hflip_prob:
             # beyond-reference augmentation (data/augment.py): mirror with
             # the l_/r_ activity swap; per-actor actions are side-agnostic
             from din_tpu.data.augment import (VOLLEY_ACTIVITY_HFLIP,

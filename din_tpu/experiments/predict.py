@@ -193,10 +193,16 @@ def main(argv=None):
     from din_tpu.data.synthetic import make_synthetic_batch
     batch = make_synthetic_batch(cfg, batch_size=args.batch)
     out = predictor(batch["images"], batch["boxes"])
-    top = out["activities"].argmax(-1)
+    acts = np.asarray(out["activities"])
+    # some models emit frame-flattened activities ([B*T, G], see
+    # chunked_padded_call docstring) — fold the per-clip multiple back out
+    # and average the clip's rows, else row b would be frame b of clip 0
+    m = acts.shape[0] // args.batch
+    acts = acts.reshape(args.batch, m, -1).mean(axis=1)
+    top = acts.argmax(-1)
     for b in range(args.batch):
         print(f"clip {b}: activity={int(top[b])} "
-              f"p={float(out['activities'][b, top[b]]):.3f}")
+              f"p={float(acts[b, top[b]]):.3f}")
     return out
 
 

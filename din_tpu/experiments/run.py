@@ -67,11 +67,13 @@ def main(argv=None):
 
     cfg = PRESETS[args.preset]()
     overrides = {}
-    if args.data_path:
+    # `is not None`, not truthiness: an explicit `--max-epoch 0` (skip
+    # training, keep test_before_train) must override the preset
+    if args.data_path is not None:
         overrides["data_path"] = args.data_path
-    if args.max_epoch:
+    if args.max_epoch is not None:
         overrides["max_epoch"] = args.max_epoch
-    if args.batch_size:
+    if args.batch_size is not None:
         overrides["batch_size"] = args.batch_size
     if args.stage1_model_path:
         overrides["stage1_model_path"] = args.stage1_model_path

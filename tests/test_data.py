@@ -338,3 +338,121 @@ def test_hflip_augmentation(tmp_path):
     np.testing.assert_allclose(fboxes[0, 0], [2.0, 0.5, 3.0, 1.5])
     np.testing.assert_array_equal(fboxes[0, 1:], 0)
     np.testing.assert_array_equal(fimgs, imgs[:, :, ::-1])
+
+
+def test_prefetch_propagates_producer_errors():
+    """A failure inside the loader/device_put must reach the training loop
+    as an exception, not strand it on q.get() forever (data/loader.py
+    producer try/except)."""
+    from din_tpu.data.loader import prefetch_to_device
+
+    def bad_iter():
+        yield {"x": np.zeros((2, 2), np.float32)}
+        raise RuntimeError("corrupt jpeg")
+
+    it = prefetch_to_device(bad_iter(), size=2)
+    next(it)                                     # first batch flows
+    with pytest.raises(RuntimeError, match="corrupt jpeg"):
+        next(it)
+
+
+def test_volleyball_zero_box_frame_raises(tmp_path):
+    """A frame with no annotated boxes cannot be padded by repetition —
+    must raise a clear error instead of spinning the pad loop forever."""
+    tracks = _write_volleyball_fixture(str(tmp_path))
+    anns = volley_read_annotations(str(tmp_path / "0" / "annotations.txt"))
+    tracks[(0, 10)] = {f: np.zeros((0, 4)) for f in tracks[(0, 10)]}
+    ds = VolleyballDataset(
+        anns={0: anns}, tracks=tracks, frames=[(0, 10)],
+        images_path=str(tmp_path), image_size=(24, 32), feature_size=(2, 3),
+        inference_module_name="dynamic_volleyball", num_boxes=12,
+        is_training=True, is_finetune=False)
+    with pytest.raises(ValueError, match="no annotated boxes"):
+        ds[0]
+
+
+def _write_collective_fixture(tmp_path, n_people=4, actions=None):
+    seq = tmp_path / "seq01"
+    seq.mkdir(exist_ok=True)
+    actions = actions or [2] * n_people
+    lines = ["1\t%d\t%d\t4\t4\t%d" % (4 * aid, 2 * aid, act)
+             for aid, act in enumerate(actions)]
+    with open(seq / "annotations.txt", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    from PIL import Image
+    for fid in range(1, 11):
+        Image.fromarray(np.full((16, 24, 3), fid, np.uint8)).save(
+            seq / ("frame%04d.jpg" % fid))
+
+
+def test_collective_truncates_crowded_frames(tmp_path):
+    """More annotated people than num_boxes: truncate (volleyball parity),
+    never loop appending padding (the old `!=` loop condition)."""
+    from din_tpu.data.collective import CollectiveDataset
+    _write_collective_fixture(tmp_path, n_people=5)
+    anns = collective_read_annotations(str(tmp_path), 1)
+    ds = CollectiveDataset(
+        anns={1: anns}, frames=[(1, 1)], images_path=str(tmp_path),
+        image_size=(16, 24), feature_size=(2, 3), num_boxes=3,
+        num_frames=2, is_training=True, is_finetune=False)
+    s = ds[0]
+    assert s["boxes"].shape == (2, 3, 4)
+    assert s["actions"].shape == (2, 3)
+    assert int(s["bboxes_num"][0]) == 3          # post-truncation count
+
+
+def test_collective_all_na_frame_skipped(tmp_path):
+    """A frame whose every action is NA has no majority vote — it is
+    skipped, not an IndexError (collective.py commit())."""
+    _write_collective_fixture(tmp_path, actions=[1, 1, 1])   # all NA
+    anns = collective_read_annotations(str(tmp_path), 1)
+    assert anns == {}
+
+
+def test_dataset_draws_are_thread_interleaving_independent(tmp_path):
+    """Item content is a pure function of (seed, epoch, index): concurrent
+    BatchLoader threads or any access ORDER must not change frame draws —
+    the contract exact mid-epoch resume relies on (loader.set_epoch)."""
+    tracks = _write_volleyball_fixture(str(tmp_path), fids=(10, 20))
+    anns = volley_read_annotations(str(tmp_path / "0" / "annotations.txt"))
+    mk = lambda: VolleyballDataset(
+        anns={0: anns}, tracks=tracks, frames=[(0, 10), (0, 20)],
+        images_path=str(tmp_path), image_size=(24, 32), feature_size=(2, 3),
+        inference_module_name="dynamic_volleyball", num_boxes=12,
+        num_before=4, num_after=4,
+        is_training=True, is_finetune=True, seed=7)
+
+    a, b = mk(), mk()
+    a.set_epoch(3), b.set_epoch(3)
+    fwd = [a[0]["images"], a[1]["images"]]
+    rev = [b[1]["images"], b[0]["images"]][::-1]   # opposite access order
+    np.testing.assert_array_equal(fwd[0], rev[0])
+    np.testing.assert_array_equal(fwd[1], rev[1])
+
+    # different epoch -> (eventually) different random frame: with 9
+    # candidate fids, 16 epochs all drawing the same one is ~1e-15
+    c = mk()
+    draws = set()
+    for ep in range(16):
+        c.set_epoch(ep)
+        draws.add(c[0]["images"].tobytes())
+    assert len(draws) > 1
+
+
+def test_run_cli_zero_overrides():
+    """--max-epoch 0 must override the preset (is-not-None semantics), so
+    an eval-only pass via max_epoch=0 is expressible."""
+    import din_tpu.experiments.run as run_mod
+    parser_cfg = {}
+
+    def fake_train_net(cfg, **kwargs):
+        parser_cfg["cfg"] = cfg
+        return {}
+
+    orig = run_mod.train_net
+    run_mod.train_net = fake_train_net
+    try:
+        run_mod.main(["--preset", "synthetic_smoke", "--max-epoch", "0"])
+    finally:
+        run_mod.train_net = orig
+    assert parser_cfg["cfg"].max_epoch == 0
