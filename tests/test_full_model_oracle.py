@@ -376,7 +376,7 @@ def test_train_trajectory_oracle(ref_models, rng):
         opt.zero_grad()
         loss.backward()
         opt.step()
-        ref_losses.append(float(loss))
+        ref_losses.append(float(loss.detach()))
 
     # ---- din_tpu trajectory ----
     tx = make_optimizer(cfg, variables["params"])
